@@ -1,0 +1,169 @@
+"""Jitted SPMD train/eval steps and optimizers.
+
+TPU-native re-design of the reference's training engine
+(``core/function.py:57-147`` train, ``:485-625`` bi-level search step) and
+optimizer setup (``search_lip_sync.py:273-280``,
+``augment_lip_sync.py:193-213``):
+
+- one pure jitted ``train_step`` replaces the per-batch Python loop body;
+  gradient averaging across data-parallel shards happens inside XLA (the
+  DDP allreduce, search_lip_sync.py:271);
+- the reference's two-optimizer split (weights vs arch params) and its
+  criterion-lambda param groups become an ``optax.multi_transform`` over a
+  single param tree labeled by path;
+- torch ``MultiStepLR`` becomes an optax piecewise-constant schedule.
+
+Batch layout (all NHWC):
+  image (B,H,W,3) f32 | par (B,H,W) i32 | edge (B,H,W) i32 |
+  pose (B,h,w,J) f32 | pose_aux (B,h,w,J) f32 | pose_weight (B,J) f32
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional, Sequence
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+from npp_tpu.core import criterion
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any          # {'model': ..., 'criterion': {'lamda_pose','lamda_par'}}
+    batch_stats: Any
+    opt_state: Any
+
+
+def multistep_lr(base_lr: float, lr_step: Sequence[int], lr_factor: float,
+                 steps_per_epoch: int):
+    """torch MultiStepLR as an optax schedule (per-iteration)."""
+    boundaries = {int(e) * steps_per_epoch: lr_factor for e in lr_step}
+    return optax.piecewise_constant_schedule(base_lr, boundaries)
+
+
+def _label_params(params, backbone_lr_scale: bool):
+    """Label each leaf for multi_transform: 'backbone' (cells/stem at
+    0.2x LR, augment_lip_sync.py:193-202), 'weights', or 'criterion'."""
+    def label(path, _):
+        keys = [p.key for p in path if hasattr(p, "key")]
+        if keys and keys[0] == "criterion":
+            return "criterion"
+        if backbone_lr_scale and len(keys) > 1:
+            mod = keys[1]
+            if (mod.startswith("cells1") or mod.startswith("cells2")
+                    or mod.startswith("stem")):
+                return "backbone"
+        return "weights"
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
+def make_train_optimizer(base_lr: float, lr_step: Sequence[int],
+                         lr_factor: float, steps_per_epoch: int,
+                         backbone_lr_scale: bool = True,
+                         criterion_lr: float = 1e-4):
+    """Augment-phase optimizer (augment_lip_sync.py:207-213): Adam with
+    per-group LRs and a MultiStep schedule. Criterion lambdas train at a
+    fixed 1e-4 (search_lip_sync.py:277-278)."""
+    sched = multistep_lr(base_lr, lr_step, lr_factor, steps_per_epoch)
+    sched_backbone = multistep_lr(0.2 * base_lr, lr_step, lr_factor,
+                                  steps_per_epoch)
+    tx = optax.multi_transform(
+        {
+            "weights": optax.adam(sched),
+            "backbone": optax.adam(sched_backbone),
+            "criterion": optax.adam(criterion_lr),
+        },
+        functools.partial(_label_params,
+                          backbone_lr_scale=backbone_lr_scale),
+    )
+    return tx
+
+
+def init_criterion_params(num_stages: int):
+    return {
+        "lamda_pose": criterion.init_pose_lamda(num_stages),
+        "lamda_par": criterion.init_par_lamda(num_stages),
+    }
+
+
+def compute_losses(model, params, batch_stats, batch, *, train: bool,
+                   class_weights, ignore_index: int = 255,
+                   ohem_thres: float = 0.9, ohem_keep: int = 131072,
+                   use_target_weight: bool = False):
+    """Forward + dual-task loss (core/function.py:87-95)."""
+    variables = {"params": params["model"], "batch_stats": batch_stats}
+    if train:
+        (pose_list, par_list), mut = model.apply(
+            variables, batch["image"], train=True, mutable=["batch_stats"])
+        new_stats = mut["batch_stats"]
+    else:
+        pose_list, par_list = model.apply(variables, batch["image"],
+                                          train=False)
+        new_stats = batch_stats
+    tw = batch.get("pose_weight") if use_target_weight else None
+    loss_pose = criterion.pose_loss(pose_list, batch["pose"],
+                                    batch.get("pose_aux"),
+                                    params["criterion"]["lamda_pose"],
+                                    target_weight=tw)
+    loss_par = criterion.parsing_loss(par_list, batch["par"], batch["edge"],
+                                      params["criterion"]["lamda_par"],
+                                      class_weights=class_weights,
+                                      ignore_index=ignore_index,
+                                      thres=ohem_thres, min_kept=ohem_keep)
+    loss = loss_pose + loss_par
+    metrics = {"loss": loss, "loss_pose": loss_pose, "loss_par": loss_par}
+    return loss, (new_stats, metrics, (pose_list, par_list))
+
+
+def make_train_step(model, tx, *, class_weights,
+                    ignore_index: int = 255, ohem_thres: float = 0.9,
+                    ohem_keep: int = 131072, donate: bool = True):
+    """Build the jitted train step. Under a sharded batch, XLA inserts the
+    gradient all-reduce (DDP's role) and global BN moments (SyncBN's role)
+    automatically."""
+
+    def step(state: TrainState, batch) -> tuple[TrainState, dict]:
+        def loss_fn(params):
+            loss, aux = compute_losses(
+                model, params, state.batch_stats, batch, train=True,
+                class_weights=class_weights, ignore_index=ignore_index,
+                ohem_thres=ohem_thres, ohem_keep=ohem_keep)
+            return loss, aux
+
+        grads, (new_stats, metrics, _) = jax.grad(loss_fn, has_aux=True)(
+            state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return TrainState(step=state.step + 1, params=new_params,
+                          batch_stats=new_stats, opt_state=new_opt), metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_forward(model):
+    """Jitted eval forward returning last-stage outputs plus loss inputs.
+
+    Flip-TTA composition and decode live in ``core.evaluate``."""
+
+    def fwd(params, batch_stats, image):
+        variables = {"params": params["model"], "batch_stats": batch_stats}
+        pose_list, par_list = model.apply(variables, image, train=False)
+        return pose_list, par_list
+
+    return jax.jit(fwd)
+
+
+def init_train_state(model, tx, rng, sample_image, num_stages: int,
+                     train_init: bool = False) -> TrainState:
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        rng, sample_image, train=train_init)
+    params = {"model": variables["params"],
+              "criterion": init_criterion_params(num_stages)}
+    opt_state = tx.init(params)
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      batch_stats=variables["batch_stats"],
+                      opt_state=opt_state)

@@ -1,0 +1,97 @@
+"""Decode parity tests vs the reference's CPU decode pipeline
+(core/inference.py, core/function.py:967-989)."""
+import cv2
+import numpy as np
+from scipy.ndimage import gaussian_filter
+
+import jax.numpy as jnp
+
+from npp_tpu.core import inference as inf
+
+
+def test_gaussian_blur_matches_scipy():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((1, 48, 48, 3)).astype(np.float32)
+    ours = np.asarray(inf.gaussian_blur(jnp.asarray(x), 3.0))
+    for c in range(3):
+        ref = gaussian_filter(x[0, :, :, c], sigma=3)
+        np.testing.assert_allclose(ours[0, :, :, c], ref, atol=2e-5)
+
+
+def test_get_max_preds_matches_reference():
+    rng = np.random.default_rng(1)
+    hm = rng.random((2, 16, 24, 5)).astype(np.float32)
+    preds, maxvals = inf.get_max_preds(jnp.asarray(hm))
+    # Golden: reference numpy formulation (core/inference.py:18-46).
+    nchw = hm.transpose(0, 3, 1, 2)
+    flat = nchw.reshape(2, 5, -1)
+    idx = np.argmax(flat, 2)
+    np.testing.assert_allclose(np.asarray(preds)[..., 0], idx % 24)
+    np.testing.assert_allclose(np.asarray(preds)[..., 1], idx // 24)
+    np.testing.assert_allclose(np.asarray(maxvals)[..., 0],
+                               np.max(flat, 2), rtol=1e-6)
+
+
+def test_quarter_offset_matches_reference():
+    rng = np.random.default_rng(2)
+    hm = rng.random((2, 16, 16, 4)).astype(np.float32)
+    coords, _ = inf.get_max_preds(jnp.asarray(hm))
+    ours = np.asarray(inf.post_process_quarter_offset(coords,
+                                                      jnp.asarray(hm)))
+    # Golden loop (core/inference.py:56-65).
+    c = np.asarray(coords).copy()
+    nchw = hm.transpose(0, 3, 1, 2)
+    for n in range(2):
+        for p in range(4):
+            m = nchw[n][p]
+            px = int(np.floor(c[n][p][0] + 0.5))
+            py = int(np.floor(c[n][p][1] + 0.5))
+            if 1 < px < 15 and 1 < py < 15:
+                diff = np.array([m[py][px + 1] - m[py][px - 1],
+                                 m[py + 1][px] - m[py - 1][px]])
+                c[n][p] += np.sign(diff) * 0.25
+    np.testing.assert_allclose(ours, c, atol=1e-6)
+
+
+def test_decode_pose_validate_matches_reference_loop():
+    """Full decode chain vs the reference per-joint CPU loop
+    (core/function.py:971-989)."""
+    rng = np.random.default_rng(3)
+    b, h, w, j = 2, 24, 24, 4
+    out = 96
+    pred = rng.random((b, h, w, j)).astype(np.float32)
+    flip = rng.random((b, h, w, j)).astype(np.float32)
+    crop_param = np.array([[[5, 7, 2, 3, 100, 100, 90, 90]],
+                           [[0, 0, 0, 0, 96, 96, 96, 96]]], np.float32)
+    scale = np.array([0.5, 1.25], np.float32)
+
+    flipped_idx = list(range(j))  # identity remap for j=4 test
+    ours = np.asarray(inf.decode_pose_validate.__wrapped__(
+        jnp.asarray(pred), None, jnp.asarray(crop_param),
+        jnp.asarray(scale), (out, out), 3.0))
+
+    for n in range(b):
+        for ji in range(j):
+            heat = cv2.resize(pred[n, :, :, ji], (out, out),
+                              interpolation=cv2.INTER_LINEAR)
+            heat = gaussian_filter(heat, sigma=3)
+            pos = np.unravel_index(heat.argmax(), heat.shape)
+            px = (pos[1] - crop_param[n, 0, 2] + crop_param[n, 0, 0]) / scale[n]
+            py = (pos[0] - crop_param[n, 0, 3] + crop_param[n, 0, 1]) / scale[n]
+            np.testing.assert_allclose(ours[n, ji, 0], px, atol=1.01)
+            np.testing.assert_allclose(ours[n, ji, 1], py, atol=1.01)
+            np.testing.assert_allclose(ours[n, ji, 2],
+                                       heat[pos[0], pos[1]], atol=1e-3)
+
+
+def test_flip_parsing_fuse_swaps_and_unflips():
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((1, 4, 4, 20)).astype(np.float32)
+    fl = rng.standard_normal((1, 4, 4, 20)).astype(np.float32)
+    fused = np.asarray(inf.flip_parsing_fuse(jnp.asarray(x),
+                                             jnp.asarray(fl)))
+    manual = fl.copy()
+    for a, b in ((14, 15), (16, 17), (18, 19)):
+        manual[..., [a, b]] = manual[..., [b, a]]
+    manual = manual[:, :, ::-1, :]
+    np.testing.assert_allclose(fused, 0.5 * (x + manual), atol=1e-6)
