@@ -22,9 +22,11 @@ import numpy as np
 
 from npp_tpu.ops.resize import resize_bilinear
 
-# Pose stream left/right remap under horizontal flip
-# (core/function.py:908).
+# Pose stream left/right remap under horizontal flip.
+# LIP 16 joints (core/function.py:908); PPP 14 joints
+# (core/function_ppp.py:905).
 FLIPPED_POSEIDX = (0, 1, 5, 6, 7, 2, 3, 4, 11, 12, 13, 8, 9, 10, 14, 15)
+FLIPPED_POSEIDX_PPP = (0, 1, 8, 9, 10, 11, 12, 13, 2, 3, 4, 5, 6, 7)
 
 
 def get_max_preds(batch_heatmaps: jnp.ndarray):
@@ -101,13 +103,15 @@ def gaussian_blur(x: jnp.ndarray, sigma: float,
     return x
 
 
-@functools.partial(jax.jit, static_argnames=("out_hw", "blur_sigma"))
+@functools.partial(jax.jit, static_argnames=("out_hw", "blur_sigma",
+                                              "flip_idx"))
 def decode_pose_validate(pred_pose: jnp.ndarray,
                          flip_pred_pose: jnp.ndarray | None,
                          crop_param: jnp.ndarray,
                          base_scale: jnp.ndarray,
                          out_hw: tuple[int, int] = (384, 384),
-                         blur_sigma: float = 3.0) -> jnp.ndarray:
+                         blur_sigma: float = 3.0,
+                         flip_idx: tuple = FLIPPED_POSEIDX) -> jnp.ndarray:
     """Validate-time pose decode, fully on device (function.py:967-989).
 
     ``pred_pose``: (B, h, w, J) raw heatmaps at model resolution.
@@ -120,7 +124,7 @@ def decode_pose_validate(pred_pose: jnp.ndarray,
                          align_corners=False)
     if flip_pred_pose is not None:
         fl = flip_pred_pose.astype(jnp.float32)
-        fl = fl[..., jnp.asarray(FLIPPED_POSEIDX)]
+        fl = fl[..., jnp.asarray(flip_idx[:fl.shape[-1]])]
         fl = resize_bilinear(fl, out_hw, align_corners=False)
         fl = fl[:, :, ::-1, :]  # unflip horizontally
         hm = 0.5 * (hm + fl)

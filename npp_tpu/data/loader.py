@@ -1,0 +1,150 @@
+"""Prefetching batcher feeding sharded device batches.
+
+TPU-native replacement for the reference's
+``torch.utils.data.DataLoader`` + ``DistributedSampler`` stack
+(search_lip_sync.py:208-233): a thread pool assembles fixed-shape numpy
+batches (host-side cv2/numpy geometry only), batches are device-put with a
+``data``-axis NamedSharding, and the expensive per-pixel target rendering
+(Gaussian heatmaps, edge maps — the reference's DataLoader-worker hot
+loops, SURVEY.md §3.4) happens ON DEVICE in one fused jitted function.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from npp_tpu.data import targets as tgt
+
+
+def collate(samples: list[dict]) -> dict:
+    """Stack sample dicts into fixed-shape numpy arrays (+ name list)."""
+    batch = {}
+    for key in ("image", "par", "joints", "visibility", "scale",
+                "crop_param"):
+        batch[key] = np.stack([s[key] for s in samples])
+    batch["names"] = [s["name"] for s in samples]
+    return batch
+
+
+def make_target_renderer(*, stride: int = 4, sigma: float = 3,
+                         num_joints: int = 16, edge_width: int = 3,
+                         ignore: int = 255):
+    """Jitted on-device target completion: joints -> heatmaps (+aux),
+    parsing labels -> edge map (data_loader.py:247-284 equivalents)."""
+
+    @jax.jit
+    def render(image, par, joints, visibility):
+        h, w = image.shape[1], image.shape[2]
+        gy, gx = h // stride, w // stride
+        pose, pose_aux = tgt.gen_pose_target_device(
+            joints, visibility, stride=stride, grid_x=gx, grid_y=gy,
+            sigma=sigma, aux=True)
+        edge = tgt.generate_edge_device(par.astype(jnp.int32),
+                                        edge_width=edge_width,
+                                        ignore=ignore)
+        edge = jnp.where(par == ignore, ignore,
+                         edge.astype(jnp.int32))
+        # Drop the background channel for the loss (function.py:902-905).
+        return {
+            "pose": pose[..., :num_joints],
+            "pose_aux": pose_aux[..., :num_joints],
+            "edge": edge,
+            "pose_weight": visibility,
+        }
+
+    return render
+
+
+class DataLoader:
+    """Iterates device-ready batches.
+
+    Per epoch: optional shuffle (``set_epoch`` reseeds like
+    DistributedSampler.set_epoch), thread-pool sample loading, double-
+    buffered prefetch, device placement with an optional sharding, and
+    on-device target rendering.
+    """
+
+    def __init__(self, dataset, batch_size: int, *, shuffle: bool = True,
+                 num_workers: int = 8, drop_last: bool = True,
+                 sharding=None, renderer=None, seed: int = 0,
+                 prefetch: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.drop_last = drop_last
+        self.sharding = sharding
+        self.renderer = renderer
+        self.seed = seed
+        self.epoch = 0
+        self.prefetch = prefetch
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _indices(self):
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.default_rng(self.seed + self.epoch).shuffle(idx)
+        n_full = len(idx) // self.batch_size * self.batch_size
+        if self.drop_last:
+            idx = idx[:n_full]
+        return [idx[i:i + self.batch_size]
+                for i in range(0, len(idx), self.batch_size)]
+
+    def _to_device(self, batch: dict) -> dict:
+        names = batch.pop("names")
+        if self.sharding is not None:
+            batch = {k: jax.device_put(v, self.sharding)
+                     for k, v in batch.items()}
+        else:
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        if self.renderer is not None:
+            rendered = self.renderer(batch["image"], batch["par"],
+                                     batch["joints"], batch["visibility"])
+            batch.update(rendered)
+        batch["names"] = names
+        return batch
+
+    def __iter__(self) -> Iterator[dict]:
+        batches = self._indices()
+        pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            try:
+                for group in batches:
+                    if stop.is_set():
+                        return
+                    samples = list(pool.map(self.dataset.__getitem__, group))
+                    q.put(collate(samples))
+                q.put(None)
+            except BaseException as exc:  # propagate to the consumer
+                q.put(exc)
+
+        producer = threading.Thread(target=produce, daemon=True)
+        producer.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield self._to_device(item)
+        finally:
+            stop.set()
+            pool.shutdown(wait=False)

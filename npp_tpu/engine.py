@@ -1,0 +1,76 @@
+"""Epoch-level training/search drivers shared by the CLIs.
+
+The per-epoch control flow of reference ``core/function.py`` ``train``
+(:57-147) / ``train_with_alpha`` (:485-625) and the entry scripts'
+epoch loops (search_lip_sync.py:317-394, augment_lip_sync.py:238-287),
+re-expressed around jitted SPMD steps.
+"""
+from __future__ import annotations
+
+import time
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+
+from npp_tpu.utils.logging_utils import AverageMeter
+
+
+def train_epoch(train_step, state, loader, *, epoch: int, logger=None,
+                writer=None, print_freq: int = 100, global_step: int = 0):
+    """One weight-training epoch (core/function.py:57-147)."""
+    ave_loss = AverageMeter()
+    tic = time.time()
+    for i_iter, batch in enumerate(loader):
+        batch = {k: v for k, v in batch.items() if k != "names"}
+        state, metrics = train_step(state, batch)
+        loss = float(metrics["loss"])
+        ave_loss.update(loss)
+        if logger and i_iter % print_freq == 0:
+            logger.info(
+                f"Epoch: [{epoch}][{i_iter}/{len(loader)}] "
+                f"Loss: {ave_loss.average():.6f} "
+                f"(pose {float(metrics['loss_pose']):.4f} "
+                f"par {float(metrics['loss_par']):.4f}) "
+                f"{time.time() - tic:.2f}s")
+            tic = time.time()
+        if writer is not None and i_iter % print_freq == 0:
+            writer.scalar("train_loss", ave_loss.average(), global_step)
+            global_step += 1
+    return state, ave_loss.average(), global_step
+
+
+def search_epoch(weight_step, arch_step, state, train_loader, mini_loader,
+                 *, epoch: int, entropy_epoch: int = 70, logger=None,
+                 writer=None, print_freq: int = 100, global_step: int = 0):
+    """One bi-level epoch: weight step on the train batch then arch step on
+    the mini batch (core/function.py:485-625)."""
+    import jax.numpy as jnp
+
+    ave_loss = AverageMeter()
+    entropy_coef = jnp.float32(1.0 if epoch > entropy_epoch else 0.0)
+    n = min(len(train_loader), len(mini_loader))
+    for i_iter, (b1, b2) in enumerate(zip(train_loader, mini_loader)):
+        b1 = {k: v for k, v in b1.items() if k != "names"}
+        b2 = {k: v for k, v in b2.items() if k != "names"}
+        state, m1 = weight_step(state, b1)
+        state, m2 = arch_step(state, b2, entropy_coef)
+        ave_loss.update(float(m1["loss"]))
+        if logger and i_iter % print_freq == 0:
+            logger.info(
+                f"Search epoch [{epoch}][{i_iter}/{n}] "
+                f"w-loss {float(m1['loss']):.4f} "
+                f"a-loss {float(m2['loss']):.4f} "
+                f"entropy {float(m2['entropy']):.4f}")
+        if writer is not None and i_iter % print_freq == 0:
+            writer.scalar("train_loss", ave_loss.average(), global_step)
+            global_step += 1
+    return state, ave_loss.average(), global_step
+
+
+def is_best_checkpoint(mean_iou: float, pck_avg: float, best_iou: float,
+                       best_pck: float) -> bool:
+    """Coupled best-model criterion (search_lip_sync.py:338-353)."""
+    if best_iou < mean_iou:
+        return best_pck - 1 < pck_avg
+    return best_pck + 1 < pck_avg

@@ -17,29 +17,50 @@ def _pool_dims(kernel: int, stride: int):
     return (1, kernel, kernel, 1), (1, stride, stride, 1)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _window_counts(h: int, w: int, kernel: int, stride: int,
+                   padding: int) -> np.ndarray:
+    """(1, H', W', 1) count of in-bounds pixels per pooling window."""
+    def axis_counts(n):
+        n_out = (n + 2 * padding - kernel) // stride + 1
+        c = np.zeros(n_out, np.float32)
+        for i in range(n_out):
+            a = i * stride - padding
+            b = a + kernel
+            c[i] = min(b, n) - max(a, 0)
+        return c
+    ch = axis_counts(h)
+    cw = axis_counts(w)
+    return (ch[:, None] * cw[None, :])[None, :, :, None]
+
+
 def max_pool(x: jnp.ndarray, kernel: int, stride: int, padding: int) -> jnp.ndarray:
     dims, strides = _pool_dims(kernel, stride)
     pad = ((0, 0), (padding, padding), (padding, padding), (0, 0))
-    init = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
-    return jax.lax.reduce_window(x, init, jax.lax.max, dims, strides, pad)
+    init = -np.inf if jnp.issubdtype(x.dtype, jnp.floating) else np.iinfo(
+        np.dtype(x.dtype)).min
+    # Literal init value: reduce_window AD requires a known (non-traced)
+    # init primal.
+    return jax.lax.reduce_window(x, np.asarray(init, x.dtype)[()],
+                                 jax.lax.max, dims, strides, pad)
 
 
 def avg_pool(x: jnp.ndarray, kernel: int, stride: int, padding: int, *,
              count_include_pad: bool = True) -> jnp.ndarray:
     dims, strides = _pool_dims(kernel, stride)
     pad = ((0, 0), (padding, padding), (padding, padding), (0, 0))
-    summed = jax.lax.reduce_window(x, jnp.array(0, x.dtype), jax.lax.add,
-                                   dims, strides, pad)
+    summed = jax.lax.reduce_window(x, np.asarray(0, x.dtype)[()],
+                                   jax.lax.add, dims, strides, pad)
     if count_include_pad or padding == 0:
         return summed / jnp.array(kernel * kernel, x.dtype)
     # Divisor = number of in-bounds elements per window. It only depends on
-    # (H, W, kernel, stride, padding), so compute it host-side once.
-    h, w = x.shape[1], x.shape[2]
-    ones = np.ones((1, h, w, 1), dtype=np.float32)
-    counts = jax.lax.reduce_window(
-        jnp.asarray(ones), jnp.array(0, jnp.float32), jax.lax.add,
-        dims, strides, pad)
-    return summed / counts.astype(x.dtype)
+    # (H, W, kernel, stride, padding) — computed host-side in numpy so it
+    # enters the graph as a constant.
+    counts = _window_counts(x.shape[1], x.shape[2], kernel, stride, padding)
+    return summed / jnp.asarray(counts, x.dtype)
 
 
 def adaptive_avg_pool(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:

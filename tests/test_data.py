@@ -1,0 +1,101 @@
+"""Data pipeline tests: synthetic dataset, collate, device renderer,
+loader iteration, LIP-format loading from generated fixtures."""
+import json
+import os
+
+import cv2
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from npp_tpu.data import (DataLoader, LIPDataset, SyntheticDataset, collate,
+                          make_target_renderer)
+
+
+def test_synthetic_sample_shapes():
+    ds = SyntheticDataset(length=4, crop_size=(96, 96), num_joints=16)
+    s = ds[0]
+    assert s["image"].shape == (96, 96, 3)
+    assert s["par"].shape == (96, 96)
+    assert s["joints"].shape == (16, 2)
+    assert s["visibility"].shape == (16,)
+    assert s["crop_param"].shape == (1, 8)
+    # Deterministic per index.
+    s2 = ds[0]
+    np.testing.assert_array_equal(s["image"], s2["image"])
+
+
+def test_loader_renders_targets_on_device():
+    ds = SyntheticDataset(length=8, crop_size=(96, 96), num_joints=16)
+    renderer = make_target_renderer(stride=4, sigma=3, num_joints=16)
+    loader = DataLoader(ds, batch_size=4, shuffle=True, num_workers=2,
+                        renderer=renderer)
+    batches = list(loader)
+    assert len(batches) == 2
+    b = batches[0]
+    assert b["image"].shape == (4, 96, 96, 3)
+    assert b["pose"].shape == (4, 24, 24, 16)
+    assert b["pose_aux"].shape == (4, 24, 24, 16)
+    assert b["edge"].shape == (4, 96, 96)
+    assert len(b["names"]) == 4
+    pose = np.asarray(b["pose"])
+    assert pose.max() <= 1.0 + 1e-6 and pose.max() > 0.5
+    edge = np.asarray(b["edge"])
+    assert set(np.unique(edge)).issubset({0, 1, 255})
+
+
+def test_loader_shuffle_reseeds_by_epoch():
+    ds = SyntheticDataset(length=16, crop_size=(32, 32))
+    loader = DataLoader(ds, batch_size=4, shuffle=True, num_workers=1)
+    loader.set_epoch(0)
+    names0 = [n for b in loader for n in b["names"]]
+    loader.set_epoch(1)
+    names1 = [n for b in loader for n in b["names"]]
+    assert names0 != names1
+    assert sorted(names0) == sorted(names1)
+
+
+@pytest.fixture
+def lip_fixture(tmp_path):
+    """Minimal on-disk LIP-format dataset."""
+    root = tmp_path
+    (root / "ims").mkdir()
+    (root / "segs").mkdir()
+    rng = np.random.default_rng(0)
+    annos = []
+    for i in range(3):
+        name = f"im{i}.jpg"
+        img = rng.integers(0, 255, (120, 100, 3)).astype(np.uint8)
+        cv2.imwrite(str(root / "ims" / name), img)
+        par = rng.integers(0, 20, (120, 100)).astype(np.uint8)
+        cv2.imwrite(str(root / "segs" / f"im{i}.png"), par)
+        joints = rng.uniform(10, 90, (16, 3)).tolist()
+        annos.append({"im_name": name, "joint_self": joints,
+                      "objpos": [50.0, 60.0], "scale_provided": 1.2})
+    with open(root / "annos.json", "w") as f:
+        json.dump({"root": annos}, f)
+    return str(root)
+
+
+def test_lip_dataset_train_and_eval_modes(lip_fixture):
+    for is_train in (True, False):
+        ds = LIPDataset(lip_fixture, "ims", "annos.json", "segs",
+                        crop_size=(96, 96), is_train=is_train, seed=0)
+        assert len(ds) == 3
+        s = ds[0]
+        assert s["image"].shape == (96, 96, 3)
+        assert s["par"].shape == (96, 96)
+        assert s["joints"].shape == (16, 2)
+        assert np.isfinite(s["image"]).all()
+        # parsing labels restricted to valid ids + ignore
+        assert set(np.unique(s["par"])).issubset(set(range(20)) | {255})
+
+
+def test_lip_sample_slicing(lip_fixture):
+    ds = LIPDataset(lip_fixture, "ims", "annos.json", "segs",
+                    crop_size=(96, 96), sample=2)
+    assert len(ds) == 2
+    ds_inv = LIPDataset(lip_fixture, "ims", "annos.json", "segs",
+                        crop_size=(96, 96), sample=2, inv_order=True)
+    assert ds_inv.image_names() == ds.image_names()[-1:] + ["im2.jpg"]

@@ -1,0 +1,91 @@
+"""Multi-device (SPMD) tests.
+
+XLA_FLAGS is locked by the environment's sitecustomize before conftest can
+force a virtual device count, so mesh tests run in a subprocess with the
+flags set in its environment (the TPU-native 'fake backend', SURVEY.md §4).
+"""
+import os
+import subprocess
+import sys
+
+import pytest
+
+
+def _run_in_mesh_env(code: str, n_devices: int = 8, timeout: int = 560):
+    env = dict(os.environ)
+    env["JAX_PLATFORM_NAME"] = "cpu"
+    env["XLA_FLAGS"] = (f"--xla_force_host_platform_device_count={n_devices}")
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "1"
+    return subprocess.run([sys.executable, "-c", code], env=env,
+                          capture_output=True, text=True, timeout=timeout)
+
+
+def test_mesh_helpers_shard_batch():
+    code = """
+import jax, numpy as np
+from npp_tpu.parallel.mesh import make_mesh, shard_batch, replicate
+assert len(jax.devices()) == 8, jax.devices()
+mesh = make_mesh()
+batch = {"x": np.zeros((8, 4, 4, 3), np.float32)}
+sharded = shard_batch(batch, mesh)
+shards = sharded["x"].addressable_shards
+assert len(shards) == 8
+assert shards[0].data.shape == (1, 4, 4, 3)
+repl = replicate({"w": np.ones((3, 3), np.float32)}, mesh)
+assert repl["w"].addressable_shards[0].data.shape == (3, 3)
+print("MESH_OK")
+"""
+    r = _run_in_mesh_env(code)
+    assert "MESH_OK" in r.stdout, (r.stdout, r.stderr[-2000:])
+
+
+def test_dryrun_multichip_full_train_step():
+    """The driver-contract dry run: full sharded train step on 8 devices."""
+    r = _run_in_mesh_env(
+        "import __graft_entry__ as g; g.dryrun_multichip(8)")
+    assert "dryrun_multichip(8): ok" in r.stdout, (r.stdout,
+                                                   r.stderr[-2000:])
+
+
+def test_data_parallel_matches_single_device():
+    """Sharded train step must produce the same loss as unsharded (the
+    SPMD partitioner only changes layout, not math)."""
+    code = """
+import numpy as np, jax, jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+from npp_tpu.core import train as T
+from npp_tpu.core.criterion import LIP_CLASS_WEIGHTS
+from npp_tpu.models.augment import NPPNet
+from npp_tpu.parallel.mesh import make_mesh
+
+model = NPPNet(num_classes=5, num_joints=4, layers=8, init_channels=8,
+               refine_layers=1, dtype=jnp.float32)
+tx = T.make_train_optimizer(1e-3, (100,), 0.1, 10)
+x = jnp.zeros((8, 64, 64, 3), jnp.float32)
+state = T.init_train_state(model, tx, jax.random.PRNGKey(0), x, 2)
+rng = np.random.default_rng(0)
+batch = {
+    "image": jnp.asarray(rng.standard_normal((8, 64, 64, 3)), jnp.float32),
+    "par": jnp.asarray(rng.integers(0, 5, (8, 64, 64)), jnp.int32),
+    "edge": jnp.asarray(rng.integers(0, 2, (8, 64, 64)), jnp.int32),
+    "pose": jnp.asarray(rng.random((8, 16, 16, 4)), jnp.float32),
+    "pose_aux": jnp.asarray(rng.random((8, 16, 16, 4)), jnp.float32),
+    "pose_weight": jnp.ones((8, 4), jnp.float32),
+}
+step = T.make_train_step(model, tx, class_weights=LIP_CLASS_WEIGHTS[:5],
+                         ohem_keep=256, donate=False)
+_, m_single = step(state, batch)
+
+mesh = make_mesh()
+repl = NamedSharding(mesh, P())
+data = NamedSharding(mesh, P("data"))
+state_s = jax.device_put(state, repl)
+batch_s = {k: jax.device_put(v, data) for k, v in batch.items()}
+_, m_shard = step(state_s, batch_s)
+a, b = float(m_single["loss"]), float(m_shard["loss"])
+assert abs(a - b) / abs(a) < 1e-4, (a, b)
+print("DP_MATCH", a, b)
+"""
+    r = _run_in_mesh_env(code)
+    assert "DP_MATCH" in r.stdout, (r.stdout, r.stderr[-2000:])

@@ -1,0 +1,85 @@
+"""End-to-end train-step test on synthetic data: loss must decrease
+(the reference's only 'test' of training is metric printouts; SURVEY.md §4)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from npp_tpu.core import train as T
+from npp_tpu.core.criterion import LIP_CLASS_WEIGHTS
+
+
+@pytest.fixture(scope="module")
+def train_bundle():
+    from npp_tpu.models.augment import NPPNet
+
+    model = NPPNet(num_classes=5, num_joints=4, layers=8, init_channels=8,
+                   refine_layers=1, dtype=jnp.float32)
+    tx = T.make_train_optimizer(1e-3, lr_step=(100,), lr_factor=0.1,
+                                steps_per_epoch=10)
+    x = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    state = T.init_train_state(model, tx, jax.random.PRNGKey(0), x,
+                               num_stages=2)
+    return model, tx, state
+
+
+def _batch(rng, b=2, hw=64, j=4, c=5):
+    h = hw // 4
+    return {
+        "image": jnp.asarray(rng.standard_normal((b, hw, hw, 3)),
+                             jnp.float32),
+        "par": jnp.asarray(rng.integers(0, c, (b, hw, hw)), jnp.int32),
+        "edge": jnp.asarray(rng.integers(0, 2, (b, hw, hw)), jnp.int32),
+        "pose": jnp.asarray(rng.random((b, h, h, j)), jnp.float32),
+        "pose_aux": jnp.asarray(rng.random((b, h, h, j)), jnp.float32),
+        "pose_weight": jnp.ones((b, j), jnp.float32),
+    }
+
+
+def test_loss_decreases(train_bundle):
+    model, tx, state = train_bundle
+    step = T.make_train_step(model, tx,
+                             class_weights=LIP_CLASS_WEIGHTS[:5],
+                             ohem_keep=512, donate=False)
+    rng = np.random.default_rng(0)
+    batch = _batch(rng)
+    losses = []
+    for _ in range(8):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses
+    assert np.isfinite(losses).all()
+
+
+def test_criterion_lamdas_are_trained(train_bundle):
+    model, tx, state = train_bundle
+    step = T.make_train_step(model, tx,
+                             class_weights=LIP_CLASS_WEIGHTS[:5],
+                             ohem_keep=512, donate=False)
+    batch = _batch(np.random.default_rng(1))
+    lam0 = np.asarray(state.params["criterion"]["lamda_pose"]).copy()
+    state2, _ = step(state, batch)
+    lam1 = np.asarray(state2.params["criterion"]["lamda_pose"])
+    assert not np.allclose(lam0, lam1)
+
+
+def test_param_labels():
+    params = {
+        "criterion": {"lamda_pose": jnp.zeros(2)},
+        "model": {"cells1_0": {"k": jnp.zeros(1)},
+                  "stem0": {"k": jnp.zeros(1)},
+                  "pose_head_0": {"k": jnp.zeros(1)}},
+    }
+    labels = T._label_params(params, backbone_lr_scale=True)
+    assert labels["criterion"]["lamda_pose"] == "criterion"
+    assert labels["model"]["cells1_0"]["k"] == "backbone"
+    assert labels["model"]["stem0"]["k"] == "backbone"
+    assert labels["model"]["pose_head_0"]["k"] == "weights"
+
+
+def test_multistep_lr_schedule():
+    sched = T.multistep_lr(1.0, (2, 4), 0.1, steps_per_epoch=10)
+    assert float(sched(0)) == pytest.approx(1.0)
+    assert float(sched(25)) == pytest.approx(0.1)
+    assert float(sched(45)) == pytest.approx(0.01)
