@@ -126,3 +126,78 @@ def validate(eval_step, params, batch_stats, loader, *, num_classes: int,
         result["pck_avg"] = float(pck[-1][-1])
         log_fn(M.pckh_table(pck[-1]))
     return result
+
+
+def make_ppp_eval_step(model, *, num_classes: int, class_weights,
+                       flip_test: bool = True, ignore_index: int = 255,
+                       ohem_thres: float = 0.9, ohem_keep: int = 131072):
+    """PPP validate step (core/function_ppp.py:869-1080): parsing handled
+    like LIP (without left/right class pairs); pose scored in heatmap space
+    — direct and flipped heatmaps are channel-remapped and averaged.
+
+    Divergence from the reference (documented): the reference averages the
+    flipped prediction WITHOUT spatially unflipping it
+    (function_ppp.py:957-959), which mixes mirror-image heatmaps; we unflip
+    spatially before averaging.
+    """
+    from npp_tpu.core.inference import FLIPPED_POSEIDX_PPP
+
+    def step(params, batch_stats, batch):
+        variables = {"params": params["model"], "batch_stats": batch_stats}
+        image = batch["image"]
+        pose_list, par_list = model.apply(variables, image, train=False)
+        if flip_test:
+            flip_pose, flip_par = model.apply(
+                variables, image[:, :, ::-1, :], train=False)
+        losses_pose = crit.pose_loss(pose_list, batch["pose"],
+                                     batch.get("pose_aux"),
+                                     params["criterion"]["lamda_pose"])
+        losses_par = crit.parsing_loss(
+            par_list, batch["par"], batch["edge"],
+            params["criterion"]["lamda_par"], class_weights=class_weights,
+            ignore_index=ignore_index, thres=ohem_thres, min_kept=ohem_keep)
+        loss = losses_pose + losses_par
+
+        h, w = batch["par"].shape[1], batch["par"].shape[2]
+        par = resize_bilinear(par_list[-1][0].astype(jnp.float32), (h, w),
+                              align_corners=False)
+        if flip_test:
+            fpar = resize_bilinear(flip_par[-1][0].astype(jnp.float32),
+                                   (h, w), align_corners=False)
+            par = flip_parsing_fuse(par, fpar, flip_pairs=())
+        par_pred = jnp.argmax(par, axis=-1).astype(jnp.int32)
+        cm = M.confusion_matrix(batch["par"], par_pred, num_classes,
+                                ignore_index)
+
+        hm = pose_list[-1][0].astype(jnp.float32)
+        if flip_test:
+            fl = flip_pose[-1][0].astype(jnp.float32)
+            fl = fl[..., jnp.asarray(FLIPPED_POSEIDX_PPP)]
+            hm = 0.5 * (hm + fl[:, :, ::-1, :])
+        return {"loss": loss, "cm": cm, "pose_hm": hm, "par_pred": par_pred}
+
+    return jax.jit(step)
+
+
+def validate_ppp(eval_step, params, batch_stats, loader, *,
+                 num_classes: int, num_joints: int = 14,
+                 log_fn=print) -> dict:
+    """PPP epoch validation: mIoU from the confusion matrix + in-loop
+    heatmap PCK with MulAverageMeter (function_ppp.py:957-962, 1081-1094)."""
+    cm = np.zeros((num_classes, num_classes), np.float64)
+    acc = M.MulAverageMeter(num_joints + 1)
+    losses = []
+    for batch in loader:
+        batch = {k: v for k, v in batch.items() if k != "names"}
+        out = eval_step(params, batch_stats, batch)
+        cm += np.asarray(out["cm"], np.float64)
+        losses.append(float(out["loss"]))
+        hm = np.asarray(out["pose_hm"]).transpose(0, 3, 1, 2)
+        gt = np.asarray(batch["pose"]).transpose(0, 3, 1, 2)
+        acc1, avg_acc, cnt, _ = M.heatmap_pck_accuracy(hm, gt)
+        acc.update(acc1, max(cnt, 1))
+    seg = M.seg_metrics(cm)
+    pck = acc.val() * 100
+    log_fn(M.ppp_pck_table(pck))
+    return {"loss": float(np.mean(losses)) if losses else float("nan"),
+            **seg, "pck": pck, "pck_avg": float(pck[0])}

@@ -93,8 +93,12 @@ def init_criterion_params(num_stages: int):
 def compute_losses(model, params, batch_stats, batch, *, train: bool,
                    class_weights, ignore_index: int = 255,
                    ohem_thres: float = 0.9, ohem_keep: int = 131072,
-                   use_target_weight: bool = False):
-    """Forward + dual-task loss (core/function.py:87-95)."""
+                   use_target_weight: bool = False, task: str = "both"):
+    """Forward + dual-task loss (core/function.py:87-95).
+
+    ``task`` selects the single-task variants ('pose' == train_pose
+    function.py:150, 'par' == train_par :234) or 'both' (joint train :57).
+    """
     variables = {"params": params["model"], "batch_stats": batch_stats}
     if train:
         (pose_list, par_list), mut = model.apply(
@@ -114,14 +118,20 @@ def compute_losses(model, params, batch_stats, batch, *, train: bool,
                                       class_weights=class_weights,
                                       ignore_index=ignore_index,
                                       thres=ohem_thres, min_kept=ohem_keep)
-    loss = loss_pose + loss_par
+    if task == "pose":
+        loss = loss_pose
+    elif task == "par":
+        loss = loss_par
+    else:
+        loss = loss_pose + loss_par
     metrics = {"loss": loss, "loss_pose": loss_pose, "loss_par": loss_par}
     return loss, (new_stats, metrics, (pose_list, par_list))
 
 
 def make_train_step(model, tx, *, class_weights,
                     ignore_index: int = 255, ohem_thres: float = 0.9,
-                    ohem_keep: int = 131072, donate: bool = True):
+                    ohem_keep: int = 131072, donate: bool = True,
+                    task: str = "both"):
     """Build the jitted train step. Under a sharded batch, XLA inserts the
     gradient all-reduce (DDP's role) and global BN moments (SyncBN's role)
     automatically."""
@@ -131,7 +141,7 @@ def make_train_step(model, tx, *, class_weights,
             loss, aux = compute_losses(
                 model, params, state.batch_stats, batch, train=True,
                 class_weights=class_weights, ignore_index=ignore_index,
-                ohem_thres=ohem_thres, ohem_keep=ohem_keep)
+                ohem_thres=ohem_thres, ohem_keep=ohem_keep, task=task)
             return loss, aux
 
         grads, (new_stats, metrics, _) = jax.grad(loss_fn, has_aux=True)(

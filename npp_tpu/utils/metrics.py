@@ -287,3 +287,34 @@ def oks_map(per_image_preds: dict, per_image_gt: dict,
         ap = hits / np.maximum(counts, 1)
         aps.append(np.concatenate([ap, [ap.mean()]]))
     return np.mean(np.stack(aps), axis=0)
+
+
+def ppp_pck_table(pck: np.ndarray, method_name: str = "Ours") -> str:
+    """PPP PCK table in 14-joint order (core/function_ppp.py:1081-1094);
+    ``pck[0]`` is the average, ``pck[1:]`` per-joint."""
+    p = pck
+    cells = [
+        ("fore", p[1]), ("neck", p[2]), ("sho.", (p[3] + p[9]) / 2),
+        ("elb.", (p[4] + p[10]) / 2), ("wri.", (p[5] + p[11]) / 2),
+        ("hip", (p[6] + p[12]) / 2), ("knee", (p[7] + p[13]) / 2),
+        ("ank.", (p[8] + p[14]) / 2), ("Avg.", p[0]),
+    ]
+    head = "PCK@0.5    " + " ".join(f"{n:>7}" for n, _ in cells)
+    vals = f"{method_name:10} " + " ".join(f"{v:7.1f}" for _, v in cells)
+    return head + "\n" + vals
+
+
+class MulAverageMeter:
+    """Vector of running averages (core/evaluate.py:118-136)."""
+
+    def __init__(self, length: int):
+        self.sum = np.zeros(length)
+        self.count = np.zeros(length)
+
+    def update(self, val, n: int = 1) -> None:
+        self.sum += np.asarray(val) * n
+        self.count += n
+
+    def val(self) -> np.ndarray:
+        return np.where(self.count > 0, self.sum / np.maximum(self.count, 1),
+                        0.0)

@@ -35,3 +35,41 @@ def test_validate_runs(tiny_model_bundle):
     total_px = 4 * 64 * 64
     cm_total = result["iou_array"]  # sanity: shapes only
     assert cm_total.shape == (7,)
+
+
+def test_validate_ppp_runs(tiny_model_bundle):
+    model, variables, _ = tiny_model_bundle
+    params = {"model": variables["params"],
+              "criterion": T.init_criterion_params(2)}
+    ds = SyntheticDataset(length=2, crop_size=(64, 64), num_joints=14,
+                          num_classes=7, is_train=False, seed=3)
+    renderer = make_target_renderer(stride=4, sigma=3, num_joints=14)
+    loader = DataLoader(ds, batch_size=2, shuffle=False, num_workers=1,
+                        renderer=renderer)
+    step = E.make_ppp_eval_step(model, num_classes=7,
+                                class_weights=LIP_CLASS_WEIGHTS[:7],
+                                flip_test=True, ohem_keep=512)
+    logs = []
+    result = E.validate_ppp(step, params, variables["batch_stats"], loader,
+                            num_classes=7, num_joints=14,
+                            log_fn=logs.append)
+    assert np.isfinite(result["loss"])
+    assert result["pck"].shape == (15,)
+    assert 0 <= result["pck_avg"] <= 100
+    assert "PCK@0.5" in logs[0]
+
+
+def test_predictor_single_image(tiny_model_bundle):
+    from npp_tpu.core.predictor import Predictor
+
+    model, variables, _ = tiny_model_bundle
+    pred = Predictor(model, variables, crop_size=(64, 64),
+                     flip_pairs=((1, 2),))
+    im = np.random.default_rng(5).integers(0, 255, (100, 80, 3)).astype(
+        np.uint8)
+    out = pred(im)
+    assert out["parsing"].shape == (100, 80)
+    assert out["parsing_crop"].shape == (64, 64)
+    assert out["keypoints"].shape == (14, 3)
+    assert np.isfinite(out["keypoints"]).all()
+    assert out["parsing"].max() < 7

@@ -60,6 +60,18 @@ def build_loaders(cfg, args, mesh):
                                   num_joints=cfg.dataset.num_joints,
                                   num_classes=cfg.dataset.num_classes,
                                   is_train=False, seed=7)
+    elif cfg.dataset.dataset == "ppp":
+        from npp_tpu.data import PPPDataset
+
+        root = cfg.dataset.root
+        common = dict(crop_size=size, sigma=cfg.model.sigma)
+        train_ds = PPPDataset(root, cfg.dataset.train_imroot, "train_id.txt",
+                              "PersonJoints", cfg.dataset.train_segroot,
+                              "masks", is_train=True, **common)
+        val_ds = PPPDataset(root, cfg.dataset.val_imroot, "val_id.txt",
+                            "PersonJoints", cfg.dataset.val_segroot,
+                            "masks", is_train=False,
+                            sample=cfg.train.num_samples or -1, **common)
     else:
         root = cfg.dataset.root
         train_ds = LIPDataset(root, cfg.dataset.train_imroot,
@@ -168,13 +180,19 @@ def main():
         model, tx, class_weights=class_weights,
         ignore_index=cfg.train.ignore_label,
         ohem_thres=cfg.loss.ohem_thres, ohem_keep=cfg.loss.ohem_keep)
-    flip_pairs = (((14, 15), (16, 17), (18, 19))
-                  if cfg.dataset.dataset == "lip" else ())
-    eval_step = E.make_eval_step(
-        model, num_classes=cfg.dataset.num_classes,
-        class_weights=class_weights, flip_test=True,
-        ignore_index=cfg.train.ignore_label, flip_pairs=flip_pairs,
-        decode_hw=(size[1], size[0]))
+    is_ppp = cfg.dataset.dataset == "ppp"
+    flip_pairs = () if is_ppp else ((14, 15), (16, 17), (18, 19))
+    if is_ppp:
+        eval_step = E.make_ppp_eval_step(
+            model, num_classes=cfg.dataset.num_classes,
+            class_weights=class_weights, flip_test=True,
+            ignore_index=cfg.train.ignore_label)
+    else:
+        eval_step = E.make_eval_step(
+            model, num_classes=cfg.dataset.num_classes,
+            class_weights=class_weights, flip_test=True,
+            ignore_index=cfg.train.ignore_label, flip_pairs=flip_pairs,
+            decode_hw=(size[1], size[0]))
 
     epochs = args.epochs or cfg.train.epochs
     gstep = 0
@@ -183,14 +201,20 @@ def main():
         state, train_loss, gstep = engine.train_epoch(
             train_step, state, train_loader, epoch=epoch, logger=logger,
             writer=writer, print_freq=cfg.print_freq, global_step=gstep)
-        result = E.validate(
-            eval_step, state.params, state.batch_stats, val_loader,
-            num_classes=cfg.dataset.num_classes,
-            gt_csv=cfg.pose_gt_path if os.path.isfile(cfg.pose_gt_path)
-            else None,
-            pred_csv=os.path.join(out_dir, "pose_pred.csv")
-            if os.path.isfile(cfg.pose_gt_path) else None,
-            log_fn=logger.info)
+        if is_ppp:
+            result = E.validate_ppp(
+                eval_step, state.params, state.batch_stats, val_loader,
+                num_classes=cfg.dataset.num_classes,
+                num_joints=cfg.dataset.num_joints, log_fn=logger.info)
+        else:
+            result = E.validate(
+                eval_step, state.params, state.batch_stats, val_loader,
+                num_classes=cfg.dataset.num_classes,
+                gt_csv=cfg.pose_gt_path if os.path.isfile(cfg.pose_gt_path)
+                else None,
+                pred_csv=os.path.join(out_dir, "pose_pred.csv")
+                if os.path.isfile(cfg.pose_gt_path) else None,
+                log_fn=logger.info)
         miou = result["mean_iou"]
         pck = result.get("pck_avg", 0.0)
         logger.info(f"epoch {epoch}: loss {result['loss']:.4f} "
