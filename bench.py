@@ -2,12 +2,19 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
+Methodology notes (hard-won on the axon tunnel runtime):
+- ``block_until_ready`` does NOT reliably wait for remote execution, and
+  deleted output futures can be cancelled — wall-clocking a dispatch loop
+  measures nothing. The only trustworthy timing is K forward passes chained
+  by a data dependency INSIDE one jit, ended by fetching a scalar value.
+- weights come from the real initializer.
+
 Baseline context: the reference (GuHuangAI/NPP) publishes no numbers
 (BASELINE.md). ``vs_baseline`` is computed against a documented estimate of
 the reference's single-GPU end-to-end inference throughput for this model
 at 384x384: ~20 img/s on a V100 (dual-stream 16-cell DARTS CNN at C=64,
-~90 GFLOPs/img in fp32 cuDNN plus per-stage Python/loader overhead). The
-BASELINE.json north-star is >=10x that per chip.
+fp32 cuDNN plus per-stage Python/loader overhead). The BASELINE.json
+north-star is >=10x that per chip.
 """
 import json
 import time
@@ -27,56 +34,45 @@ def main() -> None:
                    init_channels=64, refine_layers=1, dtype=jnp.bfloat16)
 
     batch = 8
-    image = jnp.asarray(
-        np.random.default_rng(0).standard_normal((batch, 384, 384, 3)),
-        jnp.float32)
+    images = [
+        jax.random.normal(jax.random.PRNGKey(100 + i),
+                          (batch, 384, 384, 3), jnp.float32)
+        for i in range(8)
+    ]
 
-    shapes = jax.eval_shape(
-        lambda rng, x: model.init(rng, x, train=False),
-        jax.random.PRNGKey(0), image)
-    # Random weights (values don't affect throughput; avoid degenerate
-    # all-zero activations).
-    key = jax.random.PRNGKey(1)
-    leaves, treedef = jax.tree.flatten(shapes)
-    keys = jax.random.split(key, len(leaves))
-    variables = jax.tree.unflatten(treedef, [
-        (jax.random.normal(k, s.shape, s.dtype) * 0.05
-         if jnp.issubdtype(s.dtype, jnp.floating)
-         else jnp.zeros(s.shape, s.dtype))
-        for k, s in zip(keys, leaves)])
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), images[0][:1], train=False)
+    variables = jax.device_put(variables)
+
+    def one(v, x):
+        pose_list, par_list = model.apply(v, x, train=False)
+        return (jnp.mean(pose_list[-1][0].astype(jnp.float32))
+                + jnp.mean(par_list[-1][0].astype(jnp.float32)))
+
+    n_iters = 16
 
     @jax.jit
-    def fwd_fn(variables, image):
-        pose_list, par_list = model.apply(variables, image, train=False)
-        return pose_list[-1][0], par_list[-1][0]
+    def chain(v, x):
+        def body(i, acc):
+            # acc*1e-20 creates a data dependency without changing values.
+            return acc + one(v, x + acc * 1e-20)
+        return jax.lax.fori_loop(0, n_iters, body, jnp.float32(0.0))
 
-    variables = jax.device_put(variables)
-    fwd = lambda img: fwd_fn(variables, img)
-
-    # Warmup / compile.
-    out = fwd(image)
-    jax.block_until_ready(out)
-
-    # Timed runs.
-    n_iters = 20
+    image = images[0]
+    float(chain(variables, image))  # warmup compile + execute + fetch
     t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = fwd(image)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    img_per_sec = batch * n_iters / dt
+    float(chain(variables, image))
+    dt = (time.perf_counter() - t0) / n_iters
+    img_per_sec = batch / dt
 
-    # p50 single-image latency.
-    lat_image = image[:1]
-    out = fwd(lat_image)
-    jax.block_until_ready(out)
-    lats = []
-    for _ in range(20):
-        t0 = time.perf_counter()
-        out = fwd(lat_image)
-        jax.block_until_ready(out)
-        lats.append(time.perf_counter() - t0)
-    p50_ms = float(np.median(lats) * 1000)
+    # Single-image device latency via the same in-jit chain at batch 1
+    # (a synchronous per-call measurement would include the dev tunnel's
+    # ~30ms RTT, which doesn't exist in production serving).
+    lat_image = images[0][:1]
+    float(chain(variables, lat_image))
+    t0 = time.perf_counter()
+    float(chain(variables, lat_image))
+    p50_ms = (time.perf_counter() - t0) / n_iters * 1000
 
     result = {
         "metric": "lip384_infer_images_per_sec_per_chip",

@@ -61,10 +61,12 @@ def resize_bilinear(x: jnp.ndarray, out_hw: tuple[int, int], *,
     dtype = x.dtype
     mh = jnp.asarray(_interp_matrix(h_in, h_out, align_corners), dtype=dtype)
     mw = jnp.asarray(_interp_matrix(w_in, w_out, align_corners), dtype=dtype)
-    # (..., H, W, C): contract H then W on the MXU. HIGHEST precision keeps
-    # fp32 inputs bit-faithful to the reference interpolation (the default
-    # TPU matmul precision would round through bf16).
-    prec = jax.lax.Precision.HIGHEST
+    # (..., H, W, C): contract H then W on the MXU. For fp32 inputs (the
+    # decode/eval parity paths) force HIGHEST precision so interpolation is
+    # bit-faithful to the reference; for bf16 model activations the default
+    # single-pass MXU precision is the right speed/accuracy trade.
+    prec = (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
     x = jnp.einsum("oh,...hwc->...owc", mh, x, precision=prec)
     x = jnp.einsum("pw,...hwc->...hpc", mw, x, precision=prec)
     return x
