@@ -16,6 +16,7 @@ at 384x384: ~20 img/s on a V100 (dual-stream 16-cell DARTS CNN at C=64,
 fp32 cuDNN plus per-stage Python/loader overhead). The BASELINE.json
 north-star is >=10x that per chip.
 """
+import argparse
 import json
 import time
 
@@ -27,7 +28,7 @@ import jax.numpy as jnp
 REFERENCE_GPU_IMG_PER_SEC = 20.0
 
 
-def main() -> None:
+def bench_infer() -> None:
     from npp_tpu.models.augment import NPPNet
 
     model = NPPNet(num_classes=20, num_joints=16, layers=16,
@@ -84,6 +85,126 @@ def main() -> None:
                   "backend": jax.default_backend()},
     }
     print(json.dumps(result))
+
+
+def bench_eval(n_images: int = 128) -> None:
+    """BASELINE.json config 2: mini-eval with flip-TTA + decode + metrics
+    (synthetic stand-in for the LIP val mini-split)."""
+    from npp_tpu.core import evaluate as E
+    from npp_tpu.core import train as T
+    from npp_tpu.core.criterion import LIP_CLASS_WEIGHTS
+    from npp_tpu.data import DataLoader, SyntheticDataset, make_target_renderer
+    from npp_tpu.models.augment import NPPNet
+
+    model = NPPNet(num_classes=20, num_joints=16, layers=16,
+                   init_channels=64, refine_layers=1, dtype=jnp.bfloat16)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), jnp.zeros((1, 384, 384, 3)), train=False)
+    params = {"model": variables["params"],
+              "criterion": T.init_criterion_params(2)}
+    ds = SyntheticDataset(length=n_images, crop_size=(384, 384),
+                          num_joints=16, num_classes=20, is_train=False)
+    loader = DataLoader(ds, 8, shuffle=False, num_workers=4,
+                        renderer=make_target_renderer(num_joints=16))
+    step = E.make_eval_step(model, num_classes=20,
+                            class_weights=LIP_CLASS_WEIGHTS, flip_test=True)
+    # Warmup (compile).
+    first = next(iter(loader))
+    first = {k: v for k, v in first.items() if k != "names"}
+    out = step(params, variables["batch_stats"], first)
+    _ = np.asarray(out["cm"])
+    t0 = time.perf_counter()
+    result = E.validate(step, params, variables["batch_stats"], loader,
+                        num_classes=20, log_fn=lambda s: None)
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "lip384_eval_images_per_sec_flip_tta",
+        "value": round(n_images / dt, 2), "unit": "img/s",
+        "vs_baseline": round((n_images / dt) / 10.0, 2),
+        "extra": {"n_images": n_images, "mean_iou": result["mean_iou"]},
+    }))
+
+
+def bench_pipeline(batch: int = 32, n_batches: int = 8) -> None:
+    """BASELINE.json config 4: train input pipeline (aug + target gen)."""
+    from npp_tpu.data import (DataLoader, FastLIPDataset, LIPDataset,
+                              SyntheticDataset, make_target_renderer)
+    from npp_tpu.data import fast_aug
+
+    renderer = make_target_renderer(num_joints=16)
+    ds = SyntheticDataset(length=batch * n_batches, crop_size=(384, 384),
+                          num_joints=16, num_classes=20)
+    loader = DataLoader(ds, batch, shuffle=True, num_workers=8,
+                        renderer=renderer)
+    for b in loader:  # warmup epoch (compiles renderer)
+        np.asarray(b["pose"][0, 0, 0, 0])
+        break
+    t0 = time.perf_counter()
+    n = 0
+    for b in loader:
+        np.asarray(b["pose"][0, 0, 0, 0])  # force completion
+        n += batch
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "train_input_pipeline_images_per_sec",
+        "value": round(n / dt, 2), "unit": "img/s",
+        "vs_baseline": None,
+        "extra": {"batch": batch, "native_aug": fast_aug.is_available()},
+    }))
+
+
+def bench_search_step() -> None:
+    """BASELINE.json config 5: supernet search step (fwd+bwd, weight+arch)."""
+    from npp_tpu.core import search as S
+    from npp_tpu.core.criterion import LIP_CLASS_WEIGHTS
+    from npp_tpu.models.search import SearchNet
+
+    model = SearchNet(num_classes=20, num_joints=16, layers=16,
+                      init_channels=32, refine_layers=1, dtype=jnp.bfloat16)
+    w_tx, a_tx = S.make_search_optimizers(w_lr=1e-3, alpha_lr=1e-3,
+                                          lr_step=(70,), lr_factor=0.2,
+                                          steps_per_epoch=100)
+    b = 7  # reference search batch (experiments/lip/384_384.yaml)
+    x = jnp.zeros((b, 384, 384, 3), jnp.float32)
+    state = S.init_search_state(model, w_tx, a_tx, jax.random.PRNGKey(0), x,
+                                2)
+    weight_step, arch_step = S.make_search_steps(
+        model, w_tx, a_tx, class_weights=LIP_CLASS_WEIGHTS)
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": jnp.asarray(rng.standard_normal((b, 384, 384, 3)),
+                             jnp.float32),
+        "par": jnp.asarray(rng.integers(0, 20, (b, 384, 384)), jnp.int32),
+        "edge": jnp.asarray(rng.integers(0, 2, (b, 384, 384)), jnp.int32),
+        "pose": jnp.asarray(rng.random((b, 96, 96, 16)), jnp.float32),
+        "pose_aux": jnp.asarray(rng.random((b, 96, 96, 16)), jnp.float32),
+        "pose_weight": jnp.ones((b, 16), jnp.float32),
+    }
+    state, m = weight_step(state, batch)
+    state, m2 = arch_step(state, batch, jnp.float32(0.0))
+    float(m2["loss"])  # force completion of the warmup pair
+    t0 = time.perf_counter()
+    n = 4
+    for _ in range(n):
+        state, m = weight_step(state, batch)
+        state, m2 = arch_step(state, batch, jnp.float32(0.0))
+        float(m2["loss"])  # value fetch serializes each bi-level pair
+    dt = (time.perf_counter() - t0) / n
+    print(json.dumps({
+        "metric": "search_bilevel_step_seconds",
+        "value": round(dt, 4), "unit": "s/step",
+        "vs_baseline": None,
+        "extra": {"batch": b, "images_per_sec": round(b / dt, 2)},
+    }))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="infer",
+                   choices=["infer", "eval", "pipeline", "search"])
+    args = p.parse_args()
+    {"infer": bench_infer, "eval": bench_eval, "pipeline": bench_pipeline,
+     "search": bench_search_step}[args.config]()
 
 
 if __name__ == "__main__":

@@ -68,7 +68,13 @@ def lip_fixture(tmp_path):
         name = f"im{i}.jpg"
         img = rng.integers(0, 255, (120, 100, 3)).astype(np.uint8)
         cv2.imwrite(str(root / "ims" / name), img)
-        par = rng.integers(0, 20, (120, 100)).astype(np.uint8)
+        # Blocky region labels (real parsing masks are regions, and the
+        # fast path's single nearest warp only differs from the reference's
+        # chained nearest resamples at region boundaries).
+        par = np.zeros((120, 100), np.uint8)
+        for _ in range(12):
+            y0, x0 = rng.integers(0, 100), rng.integers(0, 80)
+            par[y0:y0 + 30, x0:x0 + 25] = rng.integers(0, 20)
         cv2.imwrite(str(root / "segs" / f"im{i}.png"), par)
         joints = rng.uniform(10, 90, (16, 3)).tolist()
         annos.append({"im_name": name, "joint_self": joints,
@@ -99,3 +105,42 @@ def test_lip_sample_slicing(lip_fixture):
     ds_inv = LIPDataset(lip_fixture, "ims", "annos.json", "segs",
                         crop_size=(96, 96), sample=2, inv_order=True)
     assert ds_inv.image_names() == ds.image_names()[-1:] + ["im2.jpg"]
+
+
+def test_fast_lip_matches_reference_path_eval(lip_fixture):
+    from npp_tpu.data import FastLIPDataset
+    from npp_tpu.data import fast_aug
+
+    if not fast_aug.is_available():
+        pytest.skip("native library not built")
+    ref = LIPDataset(lip_fixture, "ims", "annos.json", "segs",
+                     crop_size=(96, 96), is_train=False, seed=0)
+    fast = FastLIPDataset(lip_fixture, "ims", "annos.json", "segs",
+                          crop_size=(96, 96), is_train=False, seed=0)
+    for i in range(len(ref)):
+        a, b = ref[i], fast[i]
+        # Geometry must match exactly in eval mode (no rotation).
+        np.testing.assert_allclose(b["joints"], a["joints"], atol=1e-2)
+        np.testing.assert_allclose(b["crop_param"], a["crop_param"])
+        np.testing.assert_allclose(b["scale"], a["scale"], rtol=1e-6)
+        # Labels: nearest grids may differ at region borders only.
+        agree = (a["par"] == b["par"]).mean()
+        assert agree > 0.9, agree
+        # Pixels: bilinear vs cubic interpolation tolerance.
+        diff = np.abs(a["image"] - b["image"]).mean()
+        assert diff < 0.2, diff
+
+
+def test_fast_lip_train_mode_valid(lip_fixture):
+    from npp_tpu.data import FastLIPDataset
+    from npp_tpu.data import fast_aug
+
+    if not fast_aug.is_available():
+        pytest.skip("native library not built")
+    ds = FastLIPDataset(lip_fixture, "ims", "annos.json", "segs",
+                        crop_size=(96, 96), is_train=True, seed=1)
+    s = ds[0]
+    assert s["image"].shape == (96, 96, 3)
+    assert np.isfinite(s["image"]).all()
+    assert set(np.unique(s["par"])).issubset(set(range(20)) | {255})
+    assert s["joints"].shape == (16, 2)
