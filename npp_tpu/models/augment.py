@@ -89,7 +89,14 @@ class _Head(nn.Module):
 
 
 class NPPNet(nn.Module):
-    """Fixed dual-task network compiled from the released genotypes."""
+    """Fixed dual-task network compiled from the released genotypes.
+
+    ``merged_streams=True`` stacks the two encoder streams' weights and
+    runs each cell pair as ONE vmapped cell over a leading stream axis —
+    XLA lowers the batched-kernel convs to grouped convs, halving the
+    encoder's kernel count (a TPU-native optimization with no reference
+    analog; parameter tree layout differs between the two modes).
+    """
 
     num_classes: int = 20
     num_joints: int = 16
@@ -101,43 +108,55 @@ class NPPNet(nn.Module):
     inter: gt.GenotypeInter = gt.INTER
     fusion: gt.GenotypeFuse = gt.FUSION
     multiplier: int = 4
+    merged_streams: bool = False
     dtype: Any = jnp.bfloat16
 
     def setup(self):
         c, d, L = self.init_channels, self.dtype, self.layers
-        self.stem0 = _Stem(c, 2, True, d)
-        self.stem1 = _Stem(c * 2, 2, True, d)
-        self.stem2 = _Stem(c * 2, 1, False, d)
-        self.stem3 = _Stem(c, 2, True, d)
-        self.stem4 = _Stem(c * 2, 2, True, d)
-        self.stem5 = _Stem(c * 2, 1, False, d)
 
         # Encoder cell channel schedule (model_augment.py:274-297).
         boundaries = {L // 4 - 1, 2 * L // 4 - 1, 3 * L // 4 - 1, L - 1}
         reductions = {L // 4, 2 * L // 4, 3 * L // 4}
         c_curr = c // 2
-        cells1, cells2, num_inchannels = [], [], []
-        reduction_prev = False
+        num_inchannels = []
         self._boundaries = tuple(sorted(boundaries))
+        cell_args = []
+        reduction_prev = False
         for i in range(L):
             if i in boundaries:
                 num_inchannels.append(c_curr * self.multiplier)
             reduction = i in reductions
             if reduction:
                 c_curr *= 2
-            cells1.append(Cell(
-                self.encoder.reduce if reduction else self.encoder.normal,
-                self.encoder.reduce_concat if reduction
-                else self.encoder.normal_concat,
-                c_curr, reduction, reduction_prev, d))
-            cells2.append(Cell(
+            cell_args.append((
                 self.encoder.reduce if reduction else self.encoder.normal,
                 self.encoder.reduce_concat if reduction
                 else self.encoder.normal_concat,
                 c_curr, reduction, reduction_prev, d))
             reduction_prev = reduction
-        self.cells1 = cells1
-        self.cells2 = cells2
+
+        if self.merged_streams:
+            VCell = nn.vmap(Cell,
+                            variable_axes={"params": 0, "batch_stats": 0},
+                            split_rngs={"params": True},
+                            in_axes=(0, 0, None), out_axes=0)
+            VStem = nn.vmap(_Stem,
+                            variable_axes={"params": 0, "batch_stats": 0},
+                            split_rngs={"params": True},
+                            in_axes=(0, None), out_axes=0)
+            self.vstem_a = VStem(c, 2, True, d)
+            self.vstem_b = VStem(c * 2, 2, True, d)
+            self.vstem_c = VStem(c * 2, 1, False, d)
+            self.vcells = [VCell(*a) for a in cell_args]
+        else:
+            self.stem0 = _Stem(c, 2, True, d)
+            self.stem1 = _Stem(c * 2, 2, True, d)
+            self.stem2 = _Stem(c * 2, 1, False, d)
+            self.stem3 = _Stem(c, 2, True, d)
+            self.stem4 = _Stem(c * 2, 2, True, d)
+            self.stem5 = _Stem(c * 2, 1, False, d)
+            self.cells1 = [Cell(*a) for a in cell_args]
+            self.cells2 = [Cell(*a) for a in cell_args]
         # Deep-to-shallow channel list [16C, 8C, 4C, 2C].
         self.num_inchannels = tuple(num_inchannels[::-1])
         shallow_first = tuple(num_inchannels)  # [2C, 4C, 8C, 16C]
@@ -220,19 +239,36 @@ class NPPNet(nn.Module):
             acc += len(g)
         return tuple(offs)
 
-    def __call__(self, x, train: bool = False):
-        d = self.dtype
-        x = x.astype(d)
-        s0 = self.stem1(self.stem0(x, train), train)
-        s1 = self.stem2(s0, train)
-        s2 = self.stem4(self.stem3(x, train), train)
-        s3 = self.stem5(s2, train)
-
+    def _encode(self, x, train: bool):
+        """Runs stems + encoder cells + cross-injections; returns the
+        4-scale feature pyramids of both streams."""
         features1: list = []
         features2: list = []
         off1 = self._offsets(self.inj_idx1)
         off2 = self._offsets(self.inj_idx2)
         group = 0
+        if self.merged_streams:
+            xs = jnp.stack([x, x])
+            s0s = self.vstem_b(self.vstem_a(xs, train), train)
+            s1s = self.vstem_c(s0s, train)
+            for i in range(self.layers):
+                s0s, s1s = s1s, self.vcells[i](s0s, s1s, train)
+                if i in self._boundaries:
+                    features1.append(s1s[0])
+                    features2.append(s1s[1])
+                    z1 = self._inject(self.inj_ops1, self.inj_idx1, off1,
+                                      group, features2, train)
+                    z2 = self._inject(self.inj_ops2, self.inj_idx2, off2,
+                                      group, features1, train)
+                    features1[-1] = features1[-1] + z1
+                    features2[-1] = features2[-1] + z2
+                    s1s = jnp.stack([features1[-1], features2[-1]])
+                    group += 1
+            return features1, features2
+        s0 = self.stem1(self.stem0(x, train), train)
+        s1 = self.stem2(s0, train)
+        s2 = self.stem4(self.stem3(x, train), train)
+        s3 = self.stem5(s2, train)
         for i in range(self.layers):
             s0, s1 = s1, self.cells1[i](s0, s1, train)
             s2, s3 = s3, self.cells2[i](s2, s3, train)
@@ -248,6 +284,12 @@ class NPPNet(nn.Module):
                 features1[-1] = s1
                 features2[-1] = s3
                 group += 1
+        return features1, features2
+
+    def __call__(self, x, train: bool = False):
+        d = self.dtype
+        x = x.astype(d)
+        features1, features2 = self._encode(x, train)
 
         # Decoder: 3 upsample stages, each followed by cross-injection
         # (model_augment.py:451-533).

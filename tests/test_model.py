@@ -61,3 +61,28 @@ def test_batch_independence(tiny_model_bundle):
     np.testing.assert_allclose(np.asarray(pose_full[0][0][0]),
                                np.asarray(pose_single[0][0][0]),
                                rtol=0, atol=5e-3)
+
+
+def test_merged_streams_variant():
+    """merged_streams=True (vmapped dual-stream encoder) must produce the
+    same output structure; weights are stacked so values differ from the
+    separate-stream init, but shapes and finiteness must hold."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from npp_tpu.models.augment import NPPNet
+
+    model = NPPNet(num_classes=5, num_joints=4, layers=8, init_channels=8,
+                   refine_layers=1, merged_streams=True, dtype=jnp.float32)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((1, 64, 64, 3)),
+                    jnp.float32)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), x, train=False)
+    # Stacked stream axis on the vmapped cells' params.
+    stem_kernel = jax.tree.leaves(variables["params"]["vstem_a"])[0]
+    assert stem_kernel.shape[0] == 2
+    pose_list, par_list = jax.jit(model.apply, static_argnames=("train",))(
+        variables, x, train=False)
+    assert pose_list[-1][0].shape == (1, 16, 16, 4)
+    assert par_list[-1][0].shape == (1, 16, 16, 5)
+    assert np.isfinite(np.asarray(pose_list[-1][0])).all()

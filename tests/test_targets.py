@@ -97,3 +97,20 @@ def test_gen_parsing_target_crop_pads_255():
     assert (out[6:, :] == 255).all()
     assert (out[:, 6:] == 255).all()
     np.testing.assert_array_equal(out[:6, :6], label[2:8, 2:8])
+
+
+def test_pallas_renderer_matches_xla():
+    """The Pallas heatmap kernel must be bit-identical to the XLA renderer
+    (interpret mode on CPU; compiled on TPU)."""
+    import jax
+    from npp_tpu.ops.pallas_kernels import render_heatmaps_pallas
+
+    rng = np.random.default_rng(3)
+    joints = jnp.asarray(rng.uniform(-20, 120, (2, 5, 2)), jnp.float32)
+    vis = jnp.asarray((rng.random((2, 5)) > 0.2), jnp.float32)
+    pm, pa = render_heatmaps_pallas(joints, vis, stride=4, grid_x=24,
+                                    grid_y=24, sigma=3.0)
+    xm, xa = T.gen_pose_target_device(joints, vis, stride=4, grid_x=24,
+                                      grid_y=24, sigma=3, aux=True)
+    np.testing.assert_allclose(np.asarray(pm), np.asarray(xm), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(pa), np.asarray(xa), atol=1e-6)
