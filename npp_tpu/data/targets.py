@@ -194,3 +194,61 @@ def gen_parsing_target(parsing_anno: np.ndarray, scale_param=None,
         t = cv2.resize(t, None, fx=1.0 / stride, fy=1.0 / stride,
                        interpolation=cv2.INTER_NEAREST)
     return t
+
+
+# LIP 16-joint limb segments (dataset/data_loader.py:241-246).
+LIP_BODY_PARTS = ((1, 0), (1, 2), (2, 3), (3, 4), (1, 5), (5, 6), (6, 7),
+                  (1, 14), (14, 15), (15, 8), (8, 9), (9, 10), (15, 11),
+                  (11, 12), (12, 13))
+
+
+def get_paf_by_hm(hm: np.ndarray, vis, body_parts=LIP_BODY_PARTS,
+                  sigma_paf: float = 5, variable_width: bool = False
+                  ) -> np.ndarray:
+    """Part-affinity fields from heatmap argmax keypoints
+    (target_generation.py:170-208; the reference's off-by-default
+    alternative pose target). ``hm``: (J+1, H, W). Returns
+    (2*len(body_parts), H, W)."""
+    size = hm.shape[-2:]
+    n_parts = len(body_parts)
+    out_pafs = np.zeros((n_parts, 2, size[0], size[1]))
+    n_person = np.zeros((n_parts, size[0], size[1]))
+    keypoints = np.zeros((hm.shape[0] - 1, 2))
+    for i in range(hm.shape[0] - 1):
+        pos = np.unravel_index(hm[i].argmax(), size)
+        keypoints[i] = (pos[1], pos[0])
+    x, y = np.meshgrid(np.arange(size[1]), np.arange(size[0]))
+    for i, (a, b) in enumerate(body_parts):
+        if not (vis[a] and vis[b]):
+            continue
+        seg = keypoints[b] - keypoints[a]
+        length = np.linalg.norm(seg)
+        if length <= 1e-2:
+            continue
+        sigma = sigma_paf * length * 0.025 if variable_width else sigma_paf
+        v = seg / length
+        v_per = (v[1], -v[0])
+        d_along = v[0] * (x - keypoints[a][0]) + v[1] * (y - keypoints[a][1])
+        d_perp = np.abs(v_per[0] * (x - keypoints[a][0])
+                        + v_per[1] * (y - keypoints[a][1]))
+        mask = ((d_along >= 0) & (d_along <= length)
+                & (d_perp <= sigma)).astype("float32")
+        out_pafs[i, 0] += mask * v[0]
+        out_pafs[i, 1] += mask * v[1]
+        n_person[i] += mask
+    out_pafs = out_pafs / (n_person[:, None] + 1e-8)
+    return out_pafs.reshape(n_parts * 2, size[0], size[1])
+
+
+def gen_pose_target_paf(joints, visibility, body_parts=LIP_BODY_PARTS,
+                        stride: int = 8, grid_x: int = 46, grid_y: int = 46,
+                        sigma: float = 7, aux: bool = False):
+    """``gen_pose_target2`` (target_generation.py:124-143): gaussian maps
+    plus PAF fields (+ their sum channel) as the aux target."""
+    maps, _ = gen_pose_target(joints, visibility, stride, grid_x, grid_y,
+                              sigma, aux=False)
+    if not aux:
+        return maps, None
+    paf = get_paf_by_hm(maps, visibility, body_parts, sigma_paf=2.5)
+    paf = np.concatenate([paf, paf.sum(axis=0, keepdims=True)], axis=0)
+    return maps, paf

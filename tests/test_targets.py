@@ -114,3 +114,16 @@ def test_pallas_renderer_matches_xla():
                                       grid_y=24, sigma=3, aux=True)
     np.testing.assert_allclose(np.asarray(pm), np.asarray(xm), atol=1e-6)
     np.testing.assert_allclose(np.asarray(pa), np.asarray(xa), atol=1e-6)
+
+
+def test_paf_fields():
+    rng = np.random.default_rng(4)
+    joints = rng.uniform(10, 80, (16, 2))
+    vis = np.ones(16, bool)
+    maps, paf = T.gen_pose_target_paf(joints, vis, stride=4, grid_x=24,
+                                      grid_y=24, sigma=3, aux=True)
+    assert paf.shape == (2 * len(T.LIP_BODY_PARTS) + 1, 24, 24)
+    # Unit vectors along limbs: nonzero magnitudes bounded by 1.
+    mag = np.sqrt(paf[0] ** 2 + paf[1] ** 2)
+    assert mag.max() <= 1.0 + 1e-6
+    assert (mag > 0).any()
