@@ -394,3 +394,44 @@ def build_search_model(cfg) -> SearchNet:
         dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
         else jnp.float32,
     )
+
+
+class SearchUpsampleCell(nn.Module):
+    """Searchable decoder upsample cell (reference ``Upsample1``,
+    model_search_interact.py:124-160): like the fixed UpsampleCell but
+    every edge is a MixedOp; edges reading state 0 (the coarser feature)
+    carry a 2x upscale. Defined for API parity — the released search keeps
+    the decoder fixed (only interactions are searched, README.md:12)."""
+
+    c_prev: int
+    steps: int = 4
+    multiplier: int = 4
+    dtype: Any = None
+
+    def setup(self):
+        from npp_tpu.ops.primitives import ReLUConvBN
+
+        c, d = self.c_prev // 4, self.dtype
+        self.preprocess0 = ReLUConvBN(c, 1, 1, 0, True, d)
+        self.preprocess1 = ReLUConvBN(c, 1, 1, 0, True, d)
+        ops = []
+        for i in range(self.steps):
+            for j in range(2 + i):
+                up = 2.0 if j == 0 else None
+                ops.append(MixedOp(c, up, dtype=d))
+        self.ops = ops
+
+    def __call__(self, s0, s1, alpha_w, beta_w, train: bool):
+        s0 = self.preprocess0(s0, train)
+        s1 = self.preprocess1(s1, train)
+        states = [s0, s1]
+        offset = 0
+        for i in range(self.steps):
+            s = None
+            for j, h in enumerate(states):
+                term = beta_w[offset + j] * self.ops[offset + j](
+                    h, alpha_w[offset + j], train)
+                s = term if s is None else s + term
+            offset += len(states)
+            states.append(s)
+        return jnp.concatenate(states[-self.multiplier:], axis=-1)

@@ -140,3 +140,18 @@ def test_btw_weights_sum_per_group():
     for n in sizes:
         np.testing.assert_allclose(w[start:start + n].sum(), 1.0, rtol=1e-5)
         start += n
+
+
+def test_search_upsample_cell():
+    from npp_tpu.models.search import SearchUpsampleCell, btw_weights
+
+    cell = SearchUpsampleCell(c_prev=16, dtype=jnp.float32)
+    s0 = jnp.zeros((1, 8, 8, 32))   # coarser feature
+    s1 = jnp.zeros((1, 16, 16, 16))
+    n_edges = sum(2 + i for i in range(4))
+    aw = jnp.ones((n_edges, 7)) / 7
+    bw = btw_weights(jnp.zeros((n_edges,)), 2, 4)
+    v = cell.init(jax.random.PRNGKey(0), s0, s1, aw, bw, False)
+    y = cell.apply(v, s0, s1, aw, bw, False)
+    # Output: 4 * (c_prev // 4) channels at s1 resolution.
+    assert y.shape == (1, 16, 16, 16)

@@ -83,3 +83,44 @@ def test_multistep_lr_schedule():
     assert float(sched(0)) == pytest.approx(1.0)
     assert float(sched(25)) == pytest.approx(0.1)
     assert float(sched(45)) == pytest.approx(0.01)
+
+
+def test_overfit_one_batch_parsing_accuracy():
+    """End-to-end learning: overfitting one synthetic batch must push
+    parsing accuracy far above background-fraction chance (the full loss
+    stack incl. learned lambdas, OHEM, and edge CE must cooperate)."""
+    from npp_tpu.data import SyntheticDataset, collate, make_target_renderer
+    from npp_tpu.models.augment import NPPNet
+    from npp_tpu.ops.resize import resize_bilinear
+
+    ds = SyntheticDataset(length=2, crop_size=(64, 64), num_joints=8,
+                          num_classes=10)
+    renderer = make_target_renderer(stride=4, sigma=3, num_joints=8)
+    raw = collate([ds[i] for i in range(2)])
+    raw.pop("names")
+    batch = {k: jnp.asarray(v) for k, v in raw.items()}
+    batch.update(renderer(batch["image"], batch["par"], batch["joints"],
+                          batch["visibility"]))
+
+    model = NPPNet(num_classes=10, num_joints=8, layers=8, init_channels=8,
+                   refine_layers=1, dtype=jnp.float32)
+    tx = T.make_train_optimizer(3e-3, (1000,), 0.1, 100)
+    state = T.init_train_state(model, tx, jax.random.PRNGKey(0),
+                               batch["image"], 2)
+    step = T.make_train_step(model, tx, class_weights=LIP_CLASS_WEIGHTS[:10],
+                             ohem_keep=1024, donate=False)
+
+    @jax.jit
+    def par_acc(params, stats, batch):
+        _, q = model.apply({"params": params["model"], "batch_stats": stats},
+                           batch["image"], train=False)
+        logits = resize_bilinear(q[-1][0].astype(jnp.float32), (64, 64),
+                                 align_corners=False)
+        return jnp.mean((jnp.argmax(logits, -1) == batch["par"]).astype(
+            jnp.float32))
+
+    acc0 = float(par_acc(state.params, state.batch_stats, batch))
+    for _ in range(40):
+        state, m = step(state, batch)
+    acc1 = float(par_acc(state.params, state.batch_stats, batch))
+    assert acc1 > max(3 * acc0, 0.3), (acc0, acc1)
