@@ -156,10 +156,11 @@ def bench_pipeline(batch: int = 32, n_batches: int = 8) -> None:
 def bench_search_step() -> None:
     """BASELINE.json config 5: supernet search step (fwd+bwd, weight+arch).
 
-    Runs at layers=8 (the reference search config is layers=16, C=32):
-    the dev tunnel's remote-compile helper cannot compile the full-size
-    bi-level gradient program (HTTP 500); the proxy preserves all four
-    scales and every searchable site.
+    Runs a reduced proxy (layers=8, C=16, 192px; the reference search
+    config is layers=16, C=32, 384px): the dev tunnel's remote-compile
+    helper cannot compile the full-size bi-level gradient program
+    (HTTP 500). The proxy preserves all four scales and every searchable
+    site.
     """
     from npp_tpu.core import search as S
     from npp_tpu.core.criterion import LIP_CLASS_WEIGHTS
@@ -171,19 +172,22 @@ def bench_search_step() -> None:
                                           lr_step=(70,), lr_factor=0.2,
                                           steps_per_epoch=100)
     b = 7  # reference search batch (experiments/lip/384_384.yaml)
-    x = jnp.zeros((b, 384, 384, 3), jnp.float32)
+    hw = 192
+    x = jnp.zeros((b, hw, hw, 3), jnp.float32)
     state = S.init_search_state(model, w_tx, a_tx, jax.random.PRNGKey(0), x,
                                 2)
     weight_step, arch_step = S.make_search_steps(
         model, w_tx, a_tx, class_weights=LIP_CLASS_WEIGHTS)
     rng = np.random.default_rng(0)
     batch = {
-        "image": jnp.asarray(rng.standard_normal((b, 384, 384, 3)),
+        "image": jnp.asarray(rng.standard_normal((b, hw, hw, 3)),
                              jnp.float32),
-        "par": jnp.asarray(rng.integers(0, 20, (b, 384, 384)), jnp.int32),
-        "edge": jnp.asarray(rng.integers(0, 2, (b, 384, 384)), jnp.int32),
-        "pose": jnp.asarray(rng.random((b, 96, 96, 16)), jnp.float32),
-        "pose_aux": jnp.asarray(rng.random((b, 96, 96, 16)), jnp.float32),
+        "par": jnp.asarray(rng.integers(0, 20, (b, hw, hw)), jnp.int32),
+        "edge": jnp.asarray(rng.integers(0, 2, (b, hw, hw)), jnp.int32),
+        "pose": jnp.asarray(rng.random((b, hw // 4, hw // 4, 16)),
+                            jnp.float32),
+        "pose_aux": jnp.asarray(rng.random((b, hw // 4, hw // 4, 16)),
+                                jnp.float32),
         "pose_weight": jnp.ones((b, 16), jnp.float32),
     }
     state, m = weight_step(state, batch)
@@ -201,8 +205,8 @@ def bench_search_step() -> None:
         "value": round(dt, 4), "unit": "s/step",
         "vs_baseline": None,
         "extra": {"batch": b, "images_per_sec": round(b / dt, 2),
-                  "layers": 8, "init_channels": 16,
-                  "note": "proxy scale; the full L=16/C=32 bi-level "
+                  "layers": 8, "init_channels": 16, "image": 192,
+                  "note": "proxy scale; the full L=16/C=32/384px bi-level "
                   "gradient program exceeds the dev relay compile helper"},
     }))
 

@@ -8,8 +8,6 @@ re-expressed around jitted SPMD steps.
 from __future__ import annotations
 
 import time
-from typing import Callable, Optional
-
 import jax
 import numpy as np
 

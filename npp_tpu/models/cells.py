@@ -10,14 +10,14 @@ All tensors NHWC; channel concat is on the last axis.
 """
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp
 
 from npp_tpu.genotypes import Edge
 from npp_tpu.ops.primitives import FactorizedReduce, ReLUConvBN, Conv, make_op
-from npp_tpu.ops.resize import resize_nearest, resize_scale, scale_output_size
+from npp_tpu.ops.resize import resize_nearest, resize_scale
 
 
 class Cell(nn.Module):

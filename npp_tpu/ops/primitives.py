@@ -9,7 +9,7 @@ batch-moment reductions are global, which reproduces the reference's SyncBN
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Sequence
+from typing import Any, Callable
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ TPU-native replacement for the reference's NCCL/DDP stack
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import numpy as np

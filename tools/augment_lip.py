@@ -36,6 +36,8 @@ def parse_args():
     p.add_argument("--resume", action="store_true")
     p.add_argument("--pretrained-encoder", default="",
                    help="orbax dir of a pretrained search state to merge")
+    p.add_argument("--fast-aug", action="store_true",
+                   help="use the native fused-warp augmentation path")
     p.add_argument("opts", nargs=argparse.REMAINDER)
     return p.parse_args()
 
@@ -73,15 +75,17 @@ def build_loaders(cfg, args, mesh):
                             "masks", is_train=False,
                             sample=cfg.train.num_samples or -1, **common)
     else:
+        from npp_tpu.data import FastLIPDataset
+
+        cls = FastLIPDataset if args.fast_aug else LIPDataset
         root = cfg.dataset.root
-        train_ds = LIPDataset(root, cfg.dataset.train_imroot,
-                              cfg.train.train_set, cfg.dataset.train_segroot,
-                              crop_size=size, sigma=cfg.model.sigma,
-                              is_train=True)
-        val_ds = LIPDataset(root, cfg.dataset.val_imroot, cfg.train.test_set,
-                            cfg.dataset.val_segroot, crop_size=size,
-                            sigma=cfg.model.sigma, is_train=False,
-                            sample=cfg.train.num_samples or -1)
+        train_ds = cls(root, cfg.dataset.train_imroot,
+                       cfg.train.train_set, cfg.dataset.train_segroot,
+                       crop_size=size, sigma=cfg.model.sigma, is_train=True)
+        val_ds = cls(root, cfg.dataset.val_imroot, cfg.train.test_set,
+                     cfg.dataset.val_segroot, crop_size=size,
+                     sigma=cfg.model.sigma, is_train=False,
+                     sample=cfg.train.num_samples or -1)
     train_loader = DataLoader(train_ds, cfg.train.batch_size, shuffle=True,
                               num_workers=cfg.workers, sharding=sharding,
                               renderer=renderer)
