@@ -174,3 +174,42 @@ FUSION = GenotypeFuse(
     ]),
     par_concat=tuple(range(3, 7)),
 )
+
+
+# ---------------------------------------------------------------------------
+# Serialization: search results -> augment training (the reference passes
+# genotypes by hard-coding them into genotypes.py; we persist them as JSON).
+# ---------------------------------------------------------------------------
+
+def save_genotypes(path: str, inter: GenotypeInter, fuse: GenotypeFuse,
+                   meta: dict | None = None) -> None:
+    import json
+
+    payload = {
+        "inter": {k: [[list(e) for e in g] for g in getattr(inter, k)]
+                  for k in ("task1", "task2", "task3", "task4")},
+        "fuse": {
+            "pose": [list(e) for e in fuse.pose],
+            "pose_concat": list(fuse.pose_concat),
+            "par": [list(e) for e in fuse.par],
+            "par_concat": list(fuse.par_concat),
+        },
+        "meta": meta or {},
+    }
+    with open(path, "w") as f:
+        json.dump(payload, f, indent=1)
+
+
+def load_genotypes(path: str) -> tuple[GenotypeInter, GenotypeFuse]:
+    import json
+
+    with open(path) as f:
+        payload = json.load(f)
+    inter = GenotypeInter(**{k: _groups(v)
+                             for k, v in payload["inter"].items()})
+    f_ = payload["fuse"]
+    fuse = GenotypeFuse(pose=_edges(f_["pose"]),
+                        pose_concat=tuple(f_["pose_concat"]),
+                        par=_edges(f_["par"]),
+                        par_concat=tuple(f_["par_concat"]))
+    return inter, fuse

@@ -349,9 +349,19 @@ class NPPNet(nn.Module):
         return pose_list, par_list
 
 
-def build_model(cfg, search: bool = False) -> NPPNet:
-    """Construct an NPPNet from a Config (augment_lip_sync.py:190)."""
+def build_model(cfg, search: bool = False, inter=None,
+                fusion=None) -> NPPNet:
+    """Construct an NPPNet from a Config (augment_lip_sync.py:190).
+
+    ``inter``/``fusion`` override the released genotypes — the handoff from
+    a search run (the reference hard-codes search results into
+    genotypes.py; here they flow via genotype JSON files)."""
     section = cfg.search if search else cfg.train
+    kw = {}
+    if inter is not None:
+        kw["inter"] = inter
+    if fusion is not None:
+        kw["fusion"] = fusion
     return NPPNet(
         num_classes=cfg.dataset.num_classes,
         num_joints=cfg.dataset.num_joints,
@@ -359,4 +369,5 @@ def build_model(cfg, search: bool = False) -> NPPNet:
         init_channels=section.init_channels,
         refine_layers=cfg.model.refine_layers,
         dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32,
+        **kw,
     )

@@ -52,3 +52,11 @@ def test_genotypes_hashable():
     hash(gt.INTER)
     hash(gt.FUSION)
     hash(gt.DECODER)
+
+
+def test_genotype_json_roundtrip(tmp_path):
+    path = str(tmp_path / "geno.json")
+    gt.save_genotypes(path, gt.INTER, gt.FUSION, meta={"epoch": 3})
+    inter, fuse = gt.load_genotypes(path)
+    assert inter == gt.INTER
+    assert fuse == gt.FUSION

@@ -38,6 +38,8 @@ def parse_args():
                    help="orbax dir of a pretrained search state to merge")
     p.add_argument("--fast-aug", action="store_true",
                    help="use the native fused-warp augmentation path")
+    p.add_argument("--genotype", default="",
+                   help="genotype JSON from a search run (best_genotype.json)")
     p.add_argument("opts", nargs=argparse.REMAINDER)
     return p.parse_args()
 
@@ -141,7 +143,13 @@ def main():
         train_loader = _LimitedLoader(train_loader, args.steps)
         val_loader = _LimitedLoader(val_loader, max(1, args.steps // 2))
 
-    model = build_model(cfg)
+    inter = fusion = None
+    if args.genotype:
+        from npp_tpu.genotypes import load_genotypes
+
+        inter, fusion = load_genotypes(args.genotype)
+        logger.info(f"loaded searched genotypes from {args.genotype}")
+    model = build_model(cfg, inter=inter, fusion=fusion)
     steps_per_epoch = max(1, len(train_loader))
     tx = T.make_train_optimizer(cfg.train.lr, cfg.train.lr_step,
                                 cfg.train.lr_factor, steps_per_epoch)

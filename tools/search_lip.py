@@ -182,6 +182,11 @@ def main():
         if is_best:
             best_iou, best_pck = miou, pck
             best_genotype = genotype
+            from npp_tpu.genotypes import save_genotypes
+
+            save_genotypes(os.path.join(out_dir, "best_genotype.json"),
+                           genotype[0], genotype[1],
+                           meta={"epoch": epoch, "miou": miou, "pck": pck})
         ckpt.save(epoch, state,
                   metrics={"best_iou": best_iou, "best_pck": best_pck},
                   is_best=is_best,
@@ -189,6 +194,8 @@ def main():
                        "final" if epoch == epochs - 1 else None))
     logger.info(f"final best mIoU {best_iou:.4f} best PCKh {best_pck:.2f}")
     logger.info(f"best genotype = {best_genotype}")
+    if best_genotype is not None:
+        logger.info(f"saved to {os.path.join(out_dir, 'best_genotype.json')}")
     writer.close()
 
 
