@@ -153,6 +153,61 @@ def bench_pipeline(batch: int = 32, n_batches: int = 8) -> None:
     }))
 
 
+def bench_train(batch: int = 16, n_iters: int = 4) -> None:
+    """Augment-phase train step at the reference's production scale
+    (bs 16, L=16, C=64, 384px — augment_lip_sync.py:207-213 and
+    experiments/lip/384_384.yaml:73-87): fwd + dual-task loss + bwd + Adam.
+
+    Same chained-in-jit methodology as bench_infer: K steps chained
+    through the TrainState inside one jit, ended by a scalar fetch."""
+    from npp_tpu.core import train as T
+    from npp_tpu.core.criterion import LIP_CLASS_WEIGHTS
+    from npp_tpu.models.augment import NPPNet
+
+    model = NPPNet(num_classes=20, num_joints=16, layers=16,
+                   init_channels=64, refine_layers=1, dtype=jnp.bfloat16)
+    tx = T.make_train_optimizer(1e-3, lr_step=(100,), lr_factor=0.1,
+                                steps_per_epoch=1000)
+    hw = 384
+    sample = jnp.zeros((batch, hw, hw, 3), jnp.float32)
+    state = T.init_train_state(model, tx, jax.random.PRNGKey(0), sample,
+                               num_stages=2)
+    rng = np.random.default_rng(0)
+    h = hw // 4
+    train_batch = {
+        "image": jnp.asarray(rng.standard_normal((batch, hw, hw, 3)),
+                             jnp.float32),
+        "par": jnp.asarray(rng.integers(0, 20, (batch, hw, hw)), jnp.int32),
+        "edge": jnp.asarray(rng.integers(0, 2, (batch, hw, hw)), jnp.int32),
+        "pose": jnp.asarray(rng.random((batch, h, h, 16)), jnp.float32),
+        "pose_aux": jnp.asarray(rng.random((batch, h, h, 16)), jnp.float32),
+        "pose_weight": jnp.ones((batch, 16), jnp.float32),
+    }
+    body = T.make_train_step_body(model, tx,
+                                  class_weights=LIP_CLASS_WEIGHTS)
+
+    @jax.jit
+    def chain(state, b):
+        def f(s, _):
+            s2, m = body(s, b)
+            return s2, m["loss"]
+        final, losses = jax.lax.scan(f, state, None, length=n_iters)
+        return losses[-1]
+
+    float(chain(state, train_batch))  # warmup compile + execute
+    t0 = time.perf_counter()
+    float(chain(state, train_batch))
+    dt = (time.perf_counter() - t0) / n_iters
+    print(json.dumps({
+        "metric": "lip384_train_images_per_sec_per_chip",
+        "value": round(batch / dt, 2), "unit": "img/s",
+        "vs_baseline": None,
+        "extra": {"batch": batch, "s_per_step": round(dt, 4),
+                  "layers": 16, "init_channels": 64,
+                  "backend": jax.default_backend()},
+    }))
+
+
 def bench_search_step() -> None:
     """BASELINE.json config 5: supernet search step (fwd+bwd, weight+arch).
 
@@ -214,10 +269,10 @@ def bench_search_step() -> None:
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="infer",
-                   choices=["infer", "eval", "pipeline", "search"])
+                   choices=["infer", "eval", "pipeline", "search", "train"])
     args = p.parse_args()
     {"infer": bench_infer, "eval": bench_eval, "pipeline": bench_pipeline,
-     "search": bench_search_step}[args.config]()
+     "search": bench_search_step, "train": bench_train}[args.config]()
 
 
 if __name__ == "__main__":

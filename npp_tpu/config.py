@@ -55,7 +55,11 @@ class LossConfig:
 
     use_ohem: bool = False
     topk: int = 8
-    use_target_weight: bool = True
+    # Reference config defaults True (core/config.py:124) but both released
+    # CLIs hard-code Criterion_pose(use_target_weight=False)
+    # (search_lip_sync.py:264, augment_lip_sync.py:187); False is the
+    # effective released behavior, and this knob is actually honored here.
+    use_target_weight: bool = False
     use_different_joints_weight: bool = False
     ohem_thres: float = 0.9
     ohem_keep: int = 131072

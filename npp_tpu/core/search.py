@@ -88,7 +88,8 @@ def init_search_state(model, weight_tx, arch_tx, rng, sample_image,
 
 def make_search_steps(model, weight_tx, arch_tx, *, class_weights,
                       ignore_index: int = 255, ohem_thres: float = 0.9,
-                      ohem_keep: int = 131072):
+                      ohem_keep: int = 131072,
+                      use_target_weight: bool = False):
     """Returns (weight_step, arch_step), both jitted.
 
     weight_step(state, batch): standard step on the train split.
@@ -101,7 +102,8 @@ def make_search_steps(model, weight_tx, arch_tx, *, class_weights,
         loss, (new_stats, metrics, _) = compute_losses(
             model, params, batch_stats, batch, train=True,
             class_weights=class_weights, ignore_index=ignore_index,
-            ohem_thres=ohem_thres, ohem_keep=ohem_keep)
+            ohem_thres=ohem_thres, ohem_keep=ohem_keep,
+            use_target_weight=use_target_weight)
         arch = {k: params["model"][k] for k in ARCH_PARAM_NAMES}
         ent = loss_entropy(arch)
         total = scale * loss + 2.0 * ent * entropy_coef

@@ -128,20 +128,21 @@ def compute_losses(model, params, batch_stats, batch, *, train: bool,
     return loss, (new_stats, metrics, (pose_list, par_list))
 
 
-def make_train_step(model, tx, *, class_weights,
-                    ignore_index: int = 255, ohem_thres: float = 0.9,
-                    ohem_keep: int = 131072, donate: bool = True,
-                    task: str = "both"):
-    """Build the jitted train step. Under a sharded batch, XLA inserts the
-    gradient all-reduce (DDP's role) and global BN moments (SyncBN's role)
-    automatically."""
+def make_train_step_body(model, tx, *, class_weights,
+                         ignore_index: int = 255, ohem_thres: float = 0.9,
+                         ohem_keep: int = 131072,
+                         use_target_weight: bool = False,
+                         task: str = "both"):
+    """The pure (unjitted) train-step function — composable into larger
+    jitted programs (chained benches, scan-based epoch loops)."""
 
     def step(state: TrainState, batch) -> tuple[TrainState, dict]:
         def loss_fn(params):
             loss, aux = compute_losses(
                 model, params, state.batch_stats, batch, train=True,
                 class_weights=class_weights, ignore_index=ignore_index,
-                ohem_thres=ohem_thres, ohem_keep=ohem_keep, task=task)
+                ohem_thres=ohem_thres, ohem_keep=ohem_keep,
+                use_target_weight=use_target_weight, task=task)
             return loss, aux
 
         grads, (new_stats, metrics, _) = jax.grad(loss_fn, has_aux=True)(
@@ -151,6 +152,26 @@ def make_train_step(model, tx, *, class_weights,
         return TrainState(step=state.step + 1, params=new_params,
                           batch_stats=new_stats, opt_state=new_opt), metrics
 
+    return step
+
+
+def make_train_step(model, tx, *, class_weights,
+                    ignore_index: int = 255, ohem_thres: float = 0.9,
+                    ohem_keep: int = 131072, donate: bool = True,
+                    use_target_weight: bool = False, task: str = "both"):
+    """Build the jitted train step. Under a sharded batch, XLA inserts the
+    gradient all-reduce (DDP's role) and global BN moments (SyncBN's role)
+    automatically.
+
+    ``use_target_weight`` masks per-joint pose loss by visibility
+    (``batch['pose_weight']``). The reference's config defaults it True
+    (core/config.py:124) but both released CLIs construct
+    ``Criterion_pose(use_target_weight=False)`` (search_lip_sync.py:264,
+    augment_lip_sync.py:187), so False is the parity default here."""
+    step = make_train_step_body(
+        model, tx, class_weights=class_weights, ignore_index=ignore_index,
+        ohem_thres=ohem_thres, ohem_keep=ohem_keep,
+        use_target_weight=use_target_weight, task=task)
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 

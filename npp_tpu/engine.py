@@ -16,25 +16,38 @@ from npp_tpu.utils.logging_utils import AverageMeter
 
 def train_epoch(train_step, state, loader, *, epoch: int, logger=None,
                 writer=None, print_freq: int = 100, global_step: int = 0):
-    """One weight-training epoch (core/function.py:57-147)."""
+    """One weight-training epoch (core/function.py:57-147).
+
+    Metrics stay on device between log points: fetching a scalar every
+    step forces a device round-trip per iteration (a full RPC on remote
+    runtimes) and serializes dispatch, so the loss is accumulated as a
+    device array and only materialized every ``print_freq`` steps."""
     ave_loss = AverageMeter()
     tic = time.time()
+    loss_sum = None
+    n_pending = 0
     for i_iter, batch in enumerate(loader):
         batch = {k: v for k, v in batch.items() if k != "names"}
         state, metrics = train_step(state, batch)
-        loss = float(metrics["loss"])
-        ave_loss.update(loss)
-        if logger and i_iter % print_freq == 0:
-            logger.info(
-                f"Epoch: [{epoch}][{i_iter}/{len(loader)}] "
-                f"Loss: {ave_loss.average():.6f} "
-                f"(pose {float(metrics['loss_pose']):.4f} "
-                f"par {float(metrics['loss_par']):.4f}) "
-                f"{time.time() - tic:.2f}s")
-            tic = time.time()
-        if writer is not None and i_iter % print_freq == 0:
-            writer.scalar("train_loss", ave_loss.average(), global_step)
-            global_step += 1
+        loss_sum = (metrics["loss"] if loss_sum is None
+                    else loss_sum + metrics["loss"])
+        n_pending += 1
+        if i_iter % print_freq == 0:
+            ave_loss.update(float(loss_sum) / n_pending, n=n_pending)
+            loss_sum, n_pending = None, 0
+            if logger:
+                logger.info(
+                    f"Epoch: [{epoch}][{i_iter}/{len(loader)}] "
+                    f"Loss: {ave_loss.average():.6f} "
+                    f"(pose {float(metrics['loss_pose']):.4f} "
+                    f"par {float(metrics['loss_par']):.4f}) "
+                    f"{time.time() - tic:.2f}s")
+                tic = time.time()
+            if writer is not None:
+                writer.scalar("train_loss", ave_loss.average(), global_step)
+                global_step += 1
+    if n_pending:
+        ave_loss.update(float(loss_sum) / n_pending, n=n_pending)
     return state, ave_loss.average(), global_step
 
 
@@ -42,27 +55,36 @@ def search_epoch(weight_step, arch_step, state, train_loader, mini_loader,
                  *, epoch: int, entropy_epoch: int = 70, logger=None,
                  writer=None, print_freq: int = 100, global_step: int = 0):
     """One bi-level epoch: weight step on the train batch then arch step on
-    the mini batch (core/function.py:485-625)."""
+    the mini batch (core/function.py:485-625). Losses accumulate on device
+    and are fetched only at ``print_freq`` boundaries (see train_epoch)."""
     import jax.numpy as jnp
 
     ave_loss = AverageMeter()
     entropy_coef = jnp.float32(1.0 if epoch > entropy_epoch else 0.0)
     n = min(len(train_loader), len(mini_loader))
+    loss_sum = None
+    n_pending = 0
     for i_iter, (b1, b2) in enumerate(zip(train_loader, mini_loader)):
         b1 = {k: v for k, v in b1.items() if k != "names"}
         b2 = {k: v for k, v in b2.items() if k != "names"}
         state, m1 = weight_step(state, b1)
         state, m2 = arch_step(state, b2, entropy_coef)
-        ave_loss.update(float(m1["loss"]))
-        if logger and i_iter % print_freq == 0:
-            logger.info(
-                f"Search epoch [{epoch}][{i_iter}/{n}] "
-                f"w-loss {float(m1['loss']):.4f} "
-                f"a-loss {float(m2['loss']):.4f} "
-                f"entropy {float(m2['entropy']):.4f}")
-        if writer is not None and i_iter % print_freq == 0:
-            writer.scalar("train_loss", ave_loss.average(), global_step)
-            global_step += 1
+        loss_sum = m1["loss"] if loss_sum is None else loss_sum + m1["loss"]
+        n_pending += 1
+        if i_iter % print_freq == 0:
+            ave_loss.update(float(loss_sum) / n_pending, n=n_pending)
+            loss_sum, n_pending = None, 0
+            if logger:
+                logger.info(
+                    f"Search epoch [{epoch}][{i_iter}/{n}] "
+                    f"w-loss {float(m1['loss']):.4f} "
+                    f"a-loss {float(m2['loss']):.4f} "
+                    f"entropy {float(m2['entropy']):.4f}")
+            if writer is not None:
+                writer.scalar("train_loss", ave_loss.average(), global_step)
+                global_step += 1
+    if n_pending:
+        ave_loss.update(float(loss_sum) / n_pending, n=n_pending)
     return state, ave_loss.average(), global_step
 
 

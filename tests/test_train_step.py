@@ -64,6 +64,47 @@ def test_criterion_lamdas_are_trained(train_bundle):
     assert not np.allclose(lam0, lam1)
 
 
+def test_use_target_weight_masks_pose_loss(train_bundle):
+    """With use_target_weight=True, joints whose pose_weight is zero must
+    contribute nothing to the pose loss: perturbing their targets leaves
+    loss_pose unchanged, while unmasked perturbation moves it
+    (reference Criterion_pose target_weight path, criterion.py:103-108)."""
+    model, tx, state = train_bundle
+    step = T.make_train_step(model, tx,
+                             class_weights=LIP_CLASS_WEIGHTS[:5],
+                             ohem_keep=512, donate=False,
+                             use_target_weight=True)
+    rng = np.random.default_rng(2)
+    base = _batch(rng)
+    # Mask joints 0 and 1; perturb their target heatmaps wildly.
+    w = np.ones((2, 4), np.float32)
+    w[:, :2] = 0.0
+    masked = dict(base, pose_weight=jnp.asarray(w))
+    perturbed = np.asarray(masked["pose"]).copy()
+    perturbed[..., :2] += 100.0
+    masked_pert = dict(masked, pose=jnp.asarray(perturbed))
+
+    _, m_a = step(state, masked)
+    _, m_b = step(state, masked_pert)
+    assert float(m_a["loss_pose"]) == pytest.approx(
+        float(m_b["loss_pose"]), rel=1e-6)
+
+    # Same perturbation on an UNMASKED joint must change the loss.
+    perturbed2 = np.asarray(masked["pose"]).copy()
+    perturbed2[..., 2:] += 100.0
+    _, m_c = step(state, dict(masked, pose=jnp.asarray(perturbed2)))
+    assert abs(float(m_c["loss_pose"]) - float(m_a["loss_pose"])) > 1.0
+
+    # And the default (parity) build ignores pose_weight entirely.
+    step_off = T.make_train_step(model, tx,
+                                 class_weights=LIP_CLASS_WEIGHTS[:5],
+                                 ohem_keep=512, donate=False)
+    _, m_d = step_off(state, base)
+    _, m_e = step_off(state, masked)
+    assert float(m_d["loss_pose"]) == pytest.approx(
+        float(m_e["loss_pose"]), rel=1e-6)
+
+
 def test_param_labels():
     params = {
         "criterion": {"lamda_pose": jnp.zeros(2)},
