@@ -90,10 +90,32 @@ def make_eval_step(model, *, num_classes: int, class_weights,
     return jax.jit(step)
 
 
+def merge_eval_shards(preds: np.ndarray, idxs: np.ndarray,
+                      names: list) -> tuple[np.ndarray, list]:
+    """Reorder gathered predictions into canonical dataset order.
+
+    The reference merges per-rank CSVs in rank order
+    (core/function.py:997-1013), which interleaves DistributedSampler's
+    strided shards — prediction rows land out of GT-row order. Here every
+    prediction carries its dataset index, so the merged output is sorted
+    back into dataset order regardless of sharding."""
+    order = np.argsort(idxs, kind="stable")
+    # Drop wrap-padding duplicates (DistributedSampler pads by repeating).
+    keep = np.concatenate([[True], np.diff(idxs[order]) != 0])
+    sel = order[keep]
+    return preds[sel], [names[i] for i in sel] if names else []
+
+
 def validate(eval_step, params, batch_stats, loader, *, num_classes: int,
              gt_csv: Optional[str] = None, pred_csv: Optional[str] = None,
              log_fn=print) -> dict:
     """Epoch-level validation driver (validate_sync semantics).
+
+    Multi-host: each process evaluates its loader shard; the confusion
+    matrix, losses, and predictions are merged with
+    ``multihost_utils.process_allgather`` over DCN — replacing the
+    reference's per-rank CSV dump + barrier + filesystem glob merge
+    (core/function.py:997-1013). Every process returns the same result.
 
     Returns dict with loss, mean_iou, iou_array, pixel_acc and — when a
     PCKh GT CSV is available — pck table and pck_avg.
@@ -102,19 +124,51 @@ def validate(eval_step, params, batch_stats, loader, *, num_classes: int,
     losses = []
     all_preds = []
     all_names = []
+    all_idx = []
     for batch in loader:
         names = batch.get("names", [])
-        batch = {k: v for k, v in batch.items() if k != "names"}
+        idx = batch.get("index")
+        batch = {k: v for k, v in batch.items()
+                 if k not in ("names", "index")}
         out = eval_step(params, batch_stats, batch)
         cm += np.asarray(out["cm"], np.float64)
         losses.append(float(out["loss"]))
         all_preds.append(np.asarray(out["pose_pred"]))
         all_names.extend(names)
+        if idx is not None:
+            all_idx.append(np.asarray(idx))
+    preds = (np.concatenate(all_preds, axis=0) if all_preds
+             else np.zeros((0, 16, 3)))
+
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils as mh
+
+        # Equal per-process shapes are guaranteed by the loader's padded
+        # DistributedSampler-style slicing (data/loader.py).
+        cm = np.asarray(mh.process_allgather(cm)).sum(axis=0)
+        losses = list(np.ravel(mh.process_allgather(
+            np.asarray(losses, np.float64))))
+        preds = np.asarray(mh.process_allgather(preds)).reshape(
+            (-1,) + preds.shape[1:])
+        if all_idx:
+            idxs = np.concatenate(all_idx)
+            idxs = np.asarray(mh.process_allgather(idxs)).reshape(-1)
+            names_src = (loader.dataset.image_names()
+                         if hasattr(loader, "dataset")
+                         and hasattr(loader.dataset, "image_names") else [])
+            order = np.argsort(idxs, kind="stable")
+            keep = np.concatenate([[True], np.diff(idxs[order]) != 0])
+            sel = order[keep]
+            preds = preds[sel]
+            all_names = [names_src[i] for i in idxs[sel]] if names_src \
+                else []
+    elif all_idx:
+        idxs = np.concatenate(all_idx)
+        preds, all_names = merge_eval_shards(preds, idxs, all_names)
+
     seg = M.seg_metrics(cm)
     result = {"loss": float(np.mean(losses)) if losses else float("nan"),
               **seg}
-    preds = (np.concatenate(all_preds, axis=0) if all_preds
-             else np.zeros((0, 16, 3)))
     result["pose_preds"] = preds
     result["names"] = all_names
 

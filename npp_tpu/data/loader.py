@@ -73,7 +73,13 @@ class DataLoader:
     def __init__(self, dataset, batch_size: int, *, shuffle: bool = True,
                  num_workers: int = 8, drop_last: bool = True,
                  sharding=None, renderer=None, seed: int = 0,
-                 prefetch: int = 2):
+                 prefetch: int = 2, process_index: int | None = None,
+                 process_count: int | None = None):
+        """``batch_size`` is the PER-PROCESS batch. With multiple processes
+        (multi-host SPMD over DCN) each process loads a disjoint strided
+        slice of the globally-shuffled index order — the DistributedSampler
+        of reference search_lip_sync.py:208-233 — and ``_to_device``
+        assembles the global sharded array from per-process local data."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -84,12 +90,22 @@ class DataLoader:
         self.seed = seed
         self.epoch = 0
         self.prefetch = prefetch
+        self.process_index = (jax.process_index() if process_index is None
+                              else process_index)
+        self.process_count = (jax.process_count() if process_count is None
+                              else process_count)
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
 
-    def __len__(self):
+    def _local_count(self) -> int:
+        """Per-process sample count (padded to be equal on every process,
+        as torch's DistributedSampler does)."""
         n = len(self.dataset)
+        return (n + self.process_count - 1) // self.process_count
+
+    def __len__(self):
+        n = self._local_count()
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -98,6 +114,14 @@ class DataLoader:
         idx = np.arange(len(self.dataset))
         if self.shuffle:
             np.random.default_rng(self.seed + self.epoch).shuffle(idx)
+        if self.process_count > 1:
+            # Pad by wrapping so every process sees the same count, then
+            # take this process's stride (DistributedSampler semantics).
+            total = self._local_count() * self.process_count
+            pad = total - len(idx)
+            if pad:
+                idx = np.concatenate([idx, idx[:pad]])
+            idx = idx[self.process_index::self.process_count]
         n_full = len(idx) // self.batch_size * self.batch_size
         if self.drop_last:
             idx = idx[:n_full]
@@ -106,7 +130,14 @@ class DataLoader:
 
     def _to_device(self, batch: dict) -> dict:
         names = batch.pop("names")
-        if self.sharding is not None:
+        index = batch.pop("index", None)
+        if self.sharding is not None and self.process_count > 1:
+            # Assemble the GLOBAL array from this process's local shard
+            # (each process feeds its addressable devices).
+            batch = {k: jax.make_array_from_process_local_data(
+                         self.sharding, np.asarray(v))
+                     for k, v in batch.items()}
+        elif self.sharding is not None:
             batch = {k: jax.device_put(v, self.sharding)
                      for k, v in batch.items()}
         else:
@@ -116,6 +147,8 @@ class DataLoader:
                                      batch["joints"], batch["visibility"])
             batch.update(rendered)
         batch["names"] = names
+        if index is not None:
+            batch["index"] = index  # host-side dataset indices (eval merge)
         return batch
 
     def __iter__(self) -> Iterator[dict]:
@@ -130,7 +163,9 @@ class DataLoader:
                     if stop.is_set():
                         return
                     samples = list(pool.map(self.dataset.__getitem__, group))
-                    q.put(collate(samples))
+                    c = collate(samples)
+                    c["index"] = np.asarray(group, np.int64)
+                    q.put(c)
                 q.put(None)
             except BaseException as exc:  # propagate to the consumer
                 q.put(exc)
