@@ -45,6 +45,7 @@ def parse_args():
 
 
 def build_loaders(cfg, args, mesh):
+    from npp_tpu.data.assets import resolve_pose_gt_csv
     from npp_tpu.data import (DataLoader, LIPDataset, SyntheticDataset,
                               make_target_renderer)
     from npp_tpu.parallel.mesh import batch_sharding
@@ -191,7 +192,8 @@ def main():
     train_step = T.make_train_step(
         model, tx, class_weights=class_weights,
         ignore_index=cfg.train.ignore_label,
-        ohem_thres=cfg.loss.ohem_thres, ohem_keep=cfg.loss.ohem_keep)
+        ohem_thres=cfg.loss.ohem_thres, ohem_keep=cfg.loss.ohem_keep,
+        use_target_weight=cfg.loss.use_target_weight)
     is_ppp = cfg.dataset.dataset == "ppp"
     flip_pairs = () if is_ppp else ((14, 15), (16, 17), (18, 19))
     if is_ppp:
@@ -219,13 +221,15 @@ def main():
                 num_classes=cfg.dataset.num_classes,
                 num_joints=cfg.dataset.num_joints, log_fn=logger.info)
         else:
+            # Synthetic smoke runs skip PCKh (names don't match GT rows).
+            gt_csv = (None if args.synthetic
+                      else resolve_pose_gt_csv(cfg.pose_gt_path))
             result = E.validate(
                 eval_step, state.params, state.batch_stats, val_loader,
                 num_classes=cfg.dataset.num_classes,
-                gt_csv=cfg.pose_gt_path if os.path.isfile(cfg.pose_gt_path)
-                else None,
+                gt_csv=gt_csv,
                 pred_csv=os.path.join(out_dir, "pose_pred.csv")
-                if os.path.isfile(cfg.pose_gt_path) else None,
+                if gt_csv else None,
                 log_fn=logger.info)
         miou = result["mean_iou"]
         pck = result.get("pck_avg", 0.0)

@@ -45,6 +45,7 @@ def main():
     from npp_tpu.core.checkpoint import CheckpointManager
     from npp_tpu.core.criterion import (LIP_CLASS_WEIGHTS,
                                         PASCAL_CLASS_WEIGHTS)
+    from npp_tpu.data.assets import resolve_pose_gt_csv
     from npp_tpu.data import (DataLoader, LIPDataset, SyntheticDataset,
                               make_target_renderer)
     from npp_tpu.models import genotype_parse as GP
@@ -122,7 +123,8 @@ def main():
     weight_step, arch_step = S.make_search_steps(
         model, w_tx, a_tx, class_weights=class_weights,
         ignore_index=cfg.train.ignore_label,
-        ohem_thres=cfg.loss.ohem_thres, ohem_keep=cfg.loss.ohem_keep)
+        ohem_thres=cfg.loss.ohem_thres, ohem_keep=cfg.loss.ohem_keep,
+        use_target_weight=cfg.loss.use_target_weight)
     flip_pairs = (((14, 15), (16, 17), (18, 19))
                   if cfg.dataset.dataset == "lip" else ())
     eval_step = E.make_eval_step(
@@ -166,12 +168,14 @@ def main():
                 logger=logger, writer=writer, print_freq=cfg.print_freq,
                 global_step=gstep)
 
+        # Synthetic smoke runs skip PCKh (names don't match the GT rows).
+        gt_csv = (None if args.synthetic
+                  else resolve_pose_gt_csv(cfg.pose_gt_path))
         result = E.validate(eval_step, state.params, state.batch_stats,
                             val_loader, num_classes=cfg.dataset.num_classes,
-                            gt_csv=cfg.pose_gt_path
-                            if os.path.isfile(cfg.pose_gt_path) else None,
+                            gt_csv=gt_csv,
                             pred_csv=os.path.join(out_dir, "pose_pred.csv")
-                            if os.path.isfile(cfg.pose_gt_path) else None,
+                            if gt_csv else None,
                             log_fn=logger.info)
         miou = result["mean_iou"]
         pck = result.get("pck_avg", 0.0)
