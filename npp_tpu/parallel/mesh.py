@@ -24,9 +24,21 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def initialize_distributed() -> None:
     """Multi-host init over DCN (replaces torch.distributed NCCL env://
-    rendezvous, search_lip_sync.py:137-139). No-op when single-process."""
-    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
+    rendezvous, search_lip_sync.py:137-139). No-op when single-process.
+
+    Env protocol mirrors the reference launcher's env:// rendezvous:
+    JAX_COORDINATOR_ADDRESS (host:port) is required; JAX_NUM_PROCESSES and
+    JAX_PROCESS_ID are passed through when set (managed clusters like GKE
+    TPU slices auto-detect them)."""
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not addr:
+        return
+    kwargs = {"coordinator_address": addr}
+    if os.environ.get("JAX_NUM_PROCESSES"):
+        kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+    if os.environ.get("JAX_PROCESS_ID"):
+        kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+    jax.distributed.initialize(**kwargs)
 
 
 def make_mesh(devices=None, axis_name: str = "data") -> Mesh:

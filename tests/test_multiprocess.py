@@ -1,0 +1,101 @@
+"""True multi-process (multi-host analog) SPMD tests.
+
+Spawns TWO separate Python processes that rendezvous through
+``jax.distributed.initialize`` over localhost — the DCN analog of the
+reference's ``torch.distributed.launch`` NCCL rendezvous
+(search_lip_sync.py:133-140) — each backed by one virtual CPU device.
+Exercises, across real process boundaries:
+- ``parallel.mesh.initialize_distributed``;
+- the loader's per-process dataset sharding + global-array assembly
+  (``jax.make_array_from_process_local_data``);
+- a sharded computation whose reduction spans both processes;
+- the eval merge: per-process predictions gathered with
+  ``multihost_utils.process_allgather`` and reordered by dataset index.
+"""
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+WORKER = r"""
+import os, sys
+import numpy as np
+
+import jax
+
+from npp_tpu.parallel.mesh import initialize_distributed
+
+initialize_distributed()
+assert jax.process_count() == 2, jax.process_count()
+rank = jax.process_index()
+
+import jax.numpy as jnp
+from jax.experimental import multihost_utils as mh
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from npp_tpu.data.loader import DataLoader
+from npp_tpu.data.synthetic import SyntheticDataset
+from npp_tpu.parallel.mesh import make_mesh
+
+mesh = make_mesh()
+assert mesh.devices.size == 2
+sharding = NamedSharding(mesh, P("data"))
+
+ds = SyntheticDataset(length=8, crop_size=(32, 32), num_joints=4,
+                      num_classes=5)
+loader = DataLoader(ds, 1, shuffle=False, num_workers=1, sharding=sharding)
+assert loader.process_count == 2
+
+total = None
+idx_seen = []
+for batch in loader:
+    x = batch["image"]          # GLOBAL array: (2, 32, 32, 3), sharded
+    assert x.shape[0] == 2, x.shape
+    assert len(x.addressable_shards) == 1   # one local device per process
+    s = jnp.sum(x)              # reduction spans both processes
+    total = s if total is None else total + s
+    idx_seen.append(np.asarray(batch["index"]))
+
+# Cross-process sum must equal the sum over the WHOLE dataset.
+want = sum(float(np.sum(ds[i]["image"])) for i in range(len(ds)))
+got = float(total)
+assert abs(got - want) / abs(want) < 1e-5, (got, want)
+
+# Eval-merge path: gather per-process indices and check global coverage.
+idxs = np.concatenate(idx_seen)
+all_idx = np.asarray(mh.process_allgather(idxs)).reshape(-1)
+assert sorted(all_idx.tolist()) == list(range(8)), all_idx
+
+print(f"MP_OK rank={rank} sum={got:.1f}")
+"""
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_distributed_data_parallel(tmp_path):
+    port = _free_port()
+    procs = []
+    for rank in range(2):
+        env = dict(os.environ)
+        env["JAX_PLATFORM_NAME"] = "cpu"
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+        env["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
+        env["JAX_NUM_PROCESSES"] = "2"
+        env["JAX_PROCESS_ID"] = str(rank)
+        env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", WORKER], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+    outs = [p.communicate(timeout=560) for p in procs]
+    for rank, (out, err) in enumerate(outs):
+        assert procs[rank].returncode == 0, (rank, out, err[-3000:])
+        assert f"MP_OK rank={rank}" in out, (rank, out, err[-2000:])
