@@ -141,6 +141,56 @@ class SearchFusionCell(nn.Module):
         return fea1, fea2
 
 
+class VSearchFusionCell(nn.Module):
+    """SearchFusionCell with each step's (3+i) MixedOps VMAPPED over one
+    stacked edge axis — numerically identical (independent params per
+    edge), but the traced graph holds 4 batched MixedOps instead of 18
+    separate ones. XLA lowers the stacked convs to batched kernels; trace
+    time, HLO size, and compile-helper memory drop ~4x per cell, which is
+    what lets the reference-scale (L=16/C=32/384px) bi-level program
+    compile on one chip's toolchain."""
+
+    channels: int
+    steps: int = 4
+    multiplier: int = 4
+    dtype: Any = None
+
+    def setup(self):
+        c, d = self.channels, self.dtype
+        from npp_tpu.ops.primitives import ReLUConvBN
+        self.preprocess0 = ReLUConvBN(c, 1, 1, 0, True, d)
+        self.preprocess1 = ReLUConvBN(c, 1, 1, 0, True, d)
+        self.preprocess2 = ReLUConvBN(c, 1, 1, 0, True, d)
+        VMixed = nn.vmap(MixedOp,
+                         variable_axes={"params": 0, "batch_stats": 0},
+                         split_rngs={"params": True},
+                         in_axes=(0, 0, None), out_axes=0)
+        self.step_ops = [VMixed(c, dtype=d) for _ in range(self.steps)]
+
+    def __call__(self, s0, s1, s2, alpha_w, beta_w, train: bool):
+        s0 = self.preprocess0(s0, train)
+        s1 = self.preprocess1(s1, train)
+        s2 = self.preprocess2(s2, train)
+        states = [s0, s1, s2]
+        offset = 0
+        for i in range(self.steps):
+            n = len(states)
+            stacked = jnp.stack(states)               # (n, B, H, W, C)
+            outs = self.step_ops[i](stacked, alpha_w[offset:offset + n],
+                                    train)            # (n, B, H, W, C)
+            # Sequential weighted sum, matching the unrolled cell's
+            # accumulation order exactly.
+            s = None
+            for j in range(n):
+                term = beta_w[offset + j] * outs[j]
+                s = term if s is None else s + term
+            offset += n
+            states.append(s)
+        fea1 = jnp.concatenate(states[0:3], axis=-1)
+        fea2 = jnp.concatenate(states[-self.multiplier:], axis=-1)
+        return fea1, fea2
+
+
 def btw_weights(betas: jnp.ndarray, n_input: int, steps: int) -> jnp.ndarray:
     """Per-step softmax over growing beta groups
     (model_search_interact.py:1054-1065)."""
@@ -167,10 +217,25 @@ class SearchNet(nn.Module):
     multiplier: int = 4
     encoder: gt.Genotype = gt.ENCODER
     decoder: gt.GenotypeUp2 = gt.DECODER
+    remat: bool = True
+    vmap_fusion: bool = True
     dtype: Any = jnp.bfloat16
 
     def setup(self):
         c, d, L = self.init_channels, self.dtype, self.layers
+        # Rematerialize cells/mixed-ops in the backward pass: the supernet
+        # executes EVERY candidate primitive per edge (model_search_
+        # interact.py:61), so stored activations at the reference scale
+        # (L=16, C=32, bs 7, 384px) exceed one chip's HBM. jax.checkpoint
+        # trades ~1/3 more FLOPs for fitting the bi-level gradient program.
+        Fusion = (VSearchFusionCell if self.vmap_fusion
+                  else SearchFusionCell)
+        if self.remat:
+            RCell = nn.remat(Cell, static_argnums=(3,))
+            RMixed = nn.remat(MixedOp, static_argnums=(3,))
+            RFusion = nn.remat(Fusion, static_argnums=(6,))
+        else:
+            RCell, RMixed, RFusion = Cell, MixedOp, Fusion
         self.stem0 = _Stem(c, 2, True, d)
         self.stem1 = _Stem(c * 2, 2, True, d)
         self.stem2 = _Stem(c * 2, 1, False, d)
@@ -194,10 +259,10 @@ class SearchNet(nn.Module):
                      else self.encoder.normal)
             concat = (self.encoder.reduce_concat if reduction
                       else self.encoder.normal_concat)
-            cells1.append(Cell(edges, concat, c_curr, reduction,
-                               reduction_prev, d))
-            cells2.append(Cell(edges, concat, c_curr, reduction,
-                               reduction_prev, d))
+            cells1.append(RCell(edges, concat, c_curr, reduction,
+                                reduction_prev, d))
+            cells2.append(RCell(edges, concat, c_curr, reduction,
+                                reduction_prev, d))
             reduction_prev = reduction
         self.cells1 = cells1
         self.cells2 = cells2
@@ -211,8 +276,8 @@ class SearchNet(nn.Module):
             for j in range(1 + i):
                 up = 1 / 2 ** (i - j)
                 extra = nc[3 - i] if i != j else None
-                ops1.append(MixedOp(nc[3 - j], up, extra, dtype=d))
-                ops2.append(MixedOp(nc[3 - j], up, extra, dtype=d))
+                ops1.append(RMixed(nc[3 - j], up, extra, dtype=d))
+                ops2.append(RMixed(nc[3 - j], up, extra, dtype=d))
         self.inj_ops1, self.inj_ops2 = ops1, ops2
 
         # Fixed decoder upsample cells (:522-532).
@@ -234,8 +299,8 @@ class SearchNet(nn.Module):
             for j in range(5 + i):
                 up = resolution[4 + i] / resolution[j]
                 extra = channels7[4 + i] if (4 + i) != j else None
-                uops1.append(MixedOp(channels7[j], up, extra, dtype=d))
-                uops2.append(MixedOp(channels7[j], up, extra, dtype=d))
+                uops1.append(RMixed(channels7[j], up, extra, dtype=d))
+                uops2.append(RMixed(channels7[j], up, extra, dtype=d))
         self.up_inj_ops1, self.up_inj_ops2 = uops1, uops2
 
         self.pose_layer = _Neck(4 * nc[3], d)
@@ -243,8 +308,8 @@ class SearchNet(nn.Module):
         self.par_layer = _Neck(4 * nc[3], d)
         self.edge_layer = _Neck(3 * nc[3], d)
 
-        self.pose_net = [SearchFusionCell(nc[3], dtype=d) for _ in range(3)]
-        self.par_net = [SearchFusionCell(nc[3], dtype=d) for _ in range(3)]
+        self.pose_net = [RFusion(nc[3], dtype=d) for _ in range(3)]
+        self.par_net = [RFusion(nc[3], dtype=d) for _ in range(3)]
 
         n_stages = self.refine_layers + 1
         self.pose_head = [_Head(256, self.num_joints, 1, True, d)

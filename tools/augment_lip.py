@@ -154,9 +154,9 @@ def main():
     steps_per_epoch = max(1, len(train_loader))
     tx = T.make_train_optimizer(cfg.train.lr, cfg.train.lr_step,
                                 cfg.train.lr_factor, steps_per_epoch)
-    size = (128, 128) if args.tiny else tuple(cfg.model.image_size)
-    sample = jnp.zeros((cfg.train.batch_size, size[1], size[0], 3),
-                       jnp.float32)
+    # Init at a small spatial size: conv/BN param shapes are independent of
+    # H/W, so the expensive full-resolution init compile is unnecessary.
+    sample = jnp.zeros((1, 64, 64, 3), jnp.float32)
     num_stages = cfg.model.refine_layers + 1
     state = T.init_train_state(model, tx, jax.random.PRNGKey(0), sample,
                                num_stages)

@@ -111,7 +111,10 @@ def main():
         lr_step=cfg.search.lr_step, lr_factor=cfg.search.lr_factor,
         steps_per_epoch=steps_per_epoch,
         alpha_weight_decay=0.001)
-    sample = jnp.zeros((bs, size[1], size[0], 3), jnp.float32)
+    # Init at a small spatial size: conv/BN param shapes are independent of
+    # H/W, and the full-resolution init program alone is expensive to
+    # compile at reference scale.
+    sample = jnp.zeros((1, 64, 64, 3), jnp.float32)
     num_stages = cfg.model.refine_layers + 1
     state = S.init_search_state(model, w_tx, a_tx, jax.random.PRNGKey(0),
                                 sample, num_stages)
