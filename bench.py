@@ -105,12 +105,17 @@ def bench_eval(n_images: int = 128) -> None:
     ds = SyntheticDataset(length=n_images, crop_size=(384, 384),
                           num_joints=16, num_classes=20, is_train=False)
     loader = DataLoader(ds, 8, shuffle=False, num_workers=4,
-                        renderer=make_target_renderer(num_joints=16))
+                        renderer=make_target_renderer(num_joints=16),
+                        cache_batches=True)
     step = E.make_eval_step(model, num_classes=20,
                             class_weights=LIP_CLASS_WEIGHTS, flip_test=True)
-    # Warmup (compile).
-    first = next(iter(loader))
-    first = {k: v for k, v in first.items() if k != "names"}
+    # Warmup: one full pass fills the host batch cache (eval geometry is
+    # deterministic) and compiles the step.
+    first = None
+    for b in loader:
+        if first is None:
+            first = {k: v for k, v in b.items()
+                     if k not in ("names", "index")}
     out = step(params, variables["batch_stats"], first)
     _ = np.asarray(out["cm"])
     t0 = time.perf_counter()
@@ -169,7 +174,9 @@ def bench_train(batch: int = 16, n_iters: int = 4) -> None:
     tx = T.make_train_optimizer(1e-3, lr_step=(100,), lr_factor=0.1,
                                 steps_per_epoch=1000)
     hw = 384
-    sample = jnp.zeros((batch, hw, hw, 3), jnp.float32)
+    # Param shapes are H/W-independent; init small to skip a second
+    # full-scale compile.
+    sample = jnp.zeros((1, 64, 64, 3), jnp.float32)
     state = T.init_train_state(model, tx, jax.random.PRNGKey(0), sample,
                                num_stages=2)
     rng = np.random.default_rng(0)
@@ -208,27 +215,30 @@ def bench_train(batch: int = 16, n_iters: int = 4) -> None:
     }))
 
 
-def bench_search_step() -> None:
+def bench_search_step(full_scale: bool = True) -> None:
     """BASELINE.json config 5: supernet search step (fwd+bwd, weight+arch).
 
-    Runs a reduced proxy (layers=8, C=16, 192px; the reference search
-    config is layers=16, C=32, 384px): the dev tunnel's remote-compile
-    helper cannot compile the full-size bi-level gradient program
-    (HTTP 500). The proxy preserves all four scales and every searchable
-    site.
+    Default: the REFERENCE search scale — layers=16, C=32, batch 7, 384px
+    (experiments/lip/384_384.yaml:51-68). Compiling the bi-level gradient
+    program at this scale needs the supernet's rematerialized cells +
+    vmapped fusion groups and a small-resolution init (param shapes are
+    H/W-independent); first compile is ~20-40 min on the dev relay,
+    cached afterwards. ``full_scale=False`` runs the round-1 proxy
+    (layers=8, C=16, 192px) which preserves all four scales and every
+    searchable site.
     """
     from npp_tpu.core import search as S
     from npp_tpu.core.criterion import LIP_CLASS_WEIGHTS
     from npp_tpu.models.search import SearchNet
 
-    model = SearchNet(num_classes=20, num_joints=16, layers=8,
-                      init_channels=16, refine_layers=1, dtype=jnp.bfloat16)
+    layers, c, hw = (16, 32, 384) if full_scale else (8, 16, 192)
+    model = SearchNet(num_classes=20, num_joints=16, layers=layers,
+                      init_channels=c, refine_layers=1, dtype=jnp.bfloat16)
     w_tx, a_tx = S.make_search_optimizers(w_lr=1e-3, alpha_lr=1e-3,
                                           lr_step=(70,), lr_factor=0.2,
                                           steps_per_epoch=100)
     b = 7  # reference search batch (experiments/lip/384_384.yaml)
-    hw = 192
-    x = jnp.zeros((b, hw, hw, 3), jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)  # small init (H/W-free)
     state = S.init_search_state(model, w_tx, a_tx, jax.random.PRNGKey(0), x,
                                 2)
     weight_step, arch_step = S.make_search_steps(
@@ -260,9 +270,8 @@ def bench_search_step() -> None:
         "value": round(dt, 4), "unit": "s/step",
         "vs_baseline": None,
         "extra": {"batch": b, "images_per_sec": round(b / dt, 2),
-                  "layers": 8, "init_channels": 16, "image": 192,
-                  "note": "proxy scale; the full L=16/C=32/384px bi-level "
-                  "gradient program exceeds the dev relay compile helper"},
+                  "layers": layers, "init_channels": c, "image": hw,
+                  "full_scale": full_scale},
     }))
 
 

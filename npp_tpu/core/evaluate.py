@@ -120,8 +120,12 @@ def validate(eval_step, params, batch_stats, loader, *, num_classes: int,
     Returns dict with loss, mean_iou, iou_array, pixel_acc and — when a
     PCKh GT CSV is available — pck table and pck_avg.
     """
-    cm = np.zeros((num_classes, num_classes), np.float64)
-    losses = []
+    # Device results are NOT fetched inside the loop: keeping cm / loss /
+    # preds as device arrays lets dispatch run ahead of the host (the
+    # reference's per-image CPU decode, function.py:967-989, is the
+    # bottleneck being replaced). One fetch after the loop drains all.
+    cm_dev = None
+    losses_dev = []
     all_preds = []
     all_names = []
     all_idx = []
@@ -131,14 +135,18 @@ def validate(eval_step, params, batch_stats, loader, *, num_classes: int,
         batch = {k: v for k, v in batch.items()
                  if k not in ("names", "index")}
         out = eval_step(params, batch_stats, batch)
-        cm += np.asarray(out["cm"], np.float64)
-        losses.append(float(out["loss"]))
-        all_preds.append(np.asarray(out["pose_pred"]))
+        cm_dev = out["cm"] if cm_dev is None else cm_dev + out["cm"]
+        losses_dev.append(out["loss"])
+        all_preds.append(out["pose_pred"])
         all_names.extend(names)
         if idx is not None:
             all_idx.append(np.asarray(idx))
-    preds = (np.concatenate(all_preds, axis=0) if all_preds
-             else np.zeros((0, 16, 3)))
+    cm = (np.asarray(cm_dev, np.float64) if cm_dev is not None
+          else np.zeros((num_classes, num_classes), np.float64))
+    losses = (list(np.asarray(jnp.stack(losses_dev), np.float64))
+              if losses_dev else [])
+    preds = (np.concatenate([np.asarray(p) for p in all_preds], axis=0)
+             if all_preds else np.zeros((0, 16, 3)))
 
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils as mh

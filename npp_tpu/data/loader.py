@@ -74,7 +74,8 @@ class DataLoader:
                  num_workers: int = 8, drop_last: bool = True,
                  sharding=None, renderer=None, seed: int = 0,
                  prefetch: int = 2, process_index: int | None = None,
-                 process_count: int | None = None):
+                 process_count: int | None = None,
+                 cache_batches: bool = False):
         """``batch_size`` is the PER-PROCESS batch. With multiple processes
         (multi-host SPMD over DCN) each process loads a disjoint strided
         slice of the globally-shuffled index order — the DistributedSampler
@@ -94,6 +95,14 @@ class DataLoader:
                               else process_index)
         self.process_count = (jax.process_count() if process_count is None
                               else process_count)
+        # Eval-loop accelerator: validation geometry is deterministic, so
+        # the host-side collated batches can be computed once and replayed
+        # every epoch (device placement + target rendering still run per
+        # epoch). Only valid with shuffle=False; sized for mini-eval splits.
+        self.cache_batches = cache_batches
+        self._batch_cache: list | None = None
+        assert not (cache_batches and shuffle), \
+            "cache_batches requires shuffle=False (deterministic batches)"
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
@@ -152,6 +161,12 @@ class DataLoader:
         return batch
 
     def __iter__(self) -> Iterator[dict]:
+        if self.cache_batches and self._batch_cache is not None:
+            for host_batch in self._batch_cache:
+                yield self._to_device(dict(host_batch))
+            return
+        fill_cache = self.cache_batches
+        cache: list = []
         batches = self._indices()
         pool = ThreadPoolExecutor(max_workers=self.num_workers)
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
@@ -179,7 +194,11 @@ class DataLoader:
                     break
                 if isinstance(item, BaseException):
                     raise item
+                if fill_cache:
+                    cache.append(dict(item))
                 yield self._to_device(item)
+            if fill_cache:
+                self._batch_cache = cache
         finally:
             stop.set()
             pool.shutdown(wait=False)

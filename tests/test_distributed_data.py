@@ -123,3 +123,31 @@ def test_validate_returns_canonical_order_with_shuffled_loader():
     assert result["names"] == ["im0", "im1", "im2", "im3"]
     np.testing.assert_allclose(result["pose_preds"][:, 0, 0],
                                [0.0, 1.0, 2.0, 3.0])
+
+
+def test_cache_batches_replays_identically():
+    """cache_batches=True must replay the exact same batches on the second
+    epoch without touching the dataset again."""
+    ds = SyntheticDataset(length=6, crop_size=(32, 32), num_joints=4,
+                          num_classes=5, is_train=False)
+    loader = DataLoader(ds, 2, shuffle=False, num_workers=1,
+                        cache_batches=True)
+    first = [{k: np.asarray(v) for k, v in b.items() if k != "names"}
+             for b in loader]
+    assert loader._batch_cache is not None
+
+    calls = {"n": 0}
+    orig = ds.__getitem__
+
+    def counting(i):
+        calls["n"] += 1
+        return orig(i)
+
+    ds.__getitem__ = counting
+    second = [{k: np.asarray(v) for k, v in b.items() if k != "names"}
+              for b in loader]
+    assert calls["n"] == 0  # replay did not touch the dataset
+    assert len(first) == len(second)
+    for a, b in zip(first, second):
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])
