@@ -106,27 +106,28 @@ def bench_eval(n_images: int = 128) -> None:
                           num_joints=16, num_classes=20, is_train=False)
     loader = DataLoader(ds, 8, shuffle=False, num_workers=4,
                         renderer=make_target_renderer(num_joints=16),
-                        cache_batches=True)
-    step = E.make_eval_step(model, num_classes=20,
-                            class_weights=LIP_CLASS_WEIGHTS, flip_test=True)
-    # Warmup: one full pass fills the host batch cache (eval geometry is
-    # deterministic) and compiles the step.
-    first = None
-    for b in loader:
-        if first is None:
-            first = {k: v for k, v in b.items()
-                     if k not in ("names", "index")}
-    out = step(params, variables["batch_stats"], first)
-    _ = np.asarray(out["cm"])
+                        cache_on_device=True)
+    epoch = E.make_eval_epoch(model, num_classes=20,
+                              class_weights=LIP_CLASS_WEIGHTS,
+                              flip_test=True)
+    # Warmup: one full pass fills the device batch cache (eval geometry is
+    # deterministic); first validate_scanned compiles the epoch program.
+    for _ in loader:
+        pass
+    E.validate_scanned(epoch, params, variables["batch_stats"], loader,
+                       num_classes=20, log_fn=lambda s: None)
     t0 = time.perf_counter()
-    result = E.validate(step, params, variables["batch_stats"], loader,
-                        num_classes=20, log_fn=lambda s: None)
+    result = E.validate_scanned(epoch, params, variables["batch_stats"],
+                                loader, num_classes=20,
+                                log_fn=lambda s: None)
     dt = time.perf_counter() - t0
     print(json.dumps({
         "metric": "lip384_eval_images_per_sec_flip_tta",
         "value": round(n_images / dt, 2), "unit": "img/s",
         "vs_baseline": round((n_images / dt) / 10.0, 2),
-        "extra": {"n_images": n_images, "mean_iou": result["mean_iou"]},
+        "extra": {"n_images": n_images, "mean_iou": result["mean_iou"],
+                  "methodology": "one-dispatch scanned epoch over "
+                  "device-cached batches (validate_scanned)"},
     }))
 
 

@@ -28,16 +28,18 @@ from npp_tpu.ops.resize import resize_bilinear
 from npp_tpu.utils import metrics as M
 
 
-def make_eval_step(model, *, num_classes: int, class_weights,
-                   flip_test: bool = True, ignore_index: int = 255,
-                   ohem_thres: float = 0.9, ohem_keep: int = 131072,
-                   flip_pairs=((14, 15), (16, 17), (18, 19)),
-                   pose_flip_idx=None,
-                   decode_hw: tuple[int, int] = (384, 384),
-                   blur_sigma: float = 3.0):
-    """Build the jitted eval step.
+def make_eval_step_body(model, *, num_classes: int, class_weights,
+                        flip_test: bool = True, ignore_index: int = 255,
+                        ohem_thres: float = 0.9, ohem_keep: int = 131072,
+                        flip_pairs=((14, 15), (16, 17), (18, 19)),
+                        pose_flip_idx=None,
+                        decode_hw: tuple[int, int] = (384, 384),
+                        blur_sigma: float = 3.0):
+    """The pure (unjitted) eval-step function — composable into a scanned
+    whole-epoch program (make_eval_epoch) or jitted per batch
+    (make_eval_step).
 
-    Returns fn(params, batch_stats, batch) ->
+    fn(params, batch_stats, batch) ->
       {loss, loss_pose, loss_par, cm, pose_pred (B,J,3), par_pred (B,H,W)}.
     """
 
@@ -87,7 +89,58 @@ def make_eval_step(model, *, num_classes: int, class_weights,
                 "loss_par": losses_par, "cm": cm, "pose_pred": pose_pred,
                 "par_pred": par_pred}
 
-    return jax.jit(step)
+    return step
+
+
+def make_eval_step(model, **kw):
+    """Jitted per-batch eval step (see make_eval_step_body)."""
+    return jax.jit(make_eval_step_body(model, **kw))
+
+
+def make_eval_epoch(model, **kw):
+    """Whole-epoch eval as ONE jitted program: lax.scan of the eval step
+    over stacked batches.
+
+    One dispatch per epoch instead of one per batch — on remote/tunneled
+    runtimes the per-call dispatch latency otherwise dominates (the
+    reference instead paid a per-image CPU decode loop,
+    core/function.py:967-989). Use with ``stack_batches`` over a
+    device-cached loader.
+
+    fn(params, batch_stats, batches) where each leaf of ``batches`` has a
+    leading batch-count axis -> {cm (C,C) summed, loss (N,), pose_pred
+    (N,B,J,3), par_pred (N,B,H,W)}.
+    """
+    body = make_eval_step_body(model, **kw)
+
+    @jax.jit
+    def epoch(params, batch_stats, batches):
+        def f(cm, batch):
+            out = body(params, batch_stats, batch)
+            return cm + out["cm"], {"loss": out["loss"],
+                                    "pose_pred": out["pose_pred"],
+                                    "par_pred": out["par_pred"]}
+
+        n_cls = kw["num_classes"]
+        cm, ys = jax.lax.scan(f, jnp.zeros((n_cls, n_cls), jnp.float32),
+                              batches)
+        return {"cm": cm, **ys}
+
+    return epoch
+
+
+def stack_batches(batches: list[dict]) -> dict:
+    """Stack same-shape batch dicts along a new leading axis (device-side;
+    names/index stay host-side lists)."""
+    keys = [k for k in batches[0] if k not in ("names", "index")]
+    out = {k: jnp.stack([b[k] for b in batches]) for k in keys}
+    names = []
+    idxs = []
+    for b in batches:
+        names.extend(b.get("names", []))
+        if b.get("index") is not None:
+            idxs.append(np.asarray(b["index"]))
+    return out, names, (np.concatenate(idxs) if idxs else None)
 
 
 def merge_eval_shards(preds: np.ndarray, idxs: np.ndarray,
@@ -184,6 +237,34 @@ def validate(eval_step, params, batch_stats, loader, *, num_classes: int,
         M.save_pose_csv(all_names, preds, pred_csv)
     if gt_csv is not None and pred_csv is not None and len(all_names):
         pck = M.calc_pck_lip(gt_csv, pred_csv, eval_num=len(all_names))
+        result["pck"] = pck
+        result["pck_avg"] = float(pck[-1][-1])
+        log_fn(M.pckh_table(pck[-1]))
+    return result
+
+
+def validate_scanned(eval_epoch, params, batch_stats, loader, *,
+                     num_classes: int, gt_csv: Optional[str] = None,
+                     pred_csv: Optional[str] = None, log_fn=print) -> dict:
+    """Single-dispatch validation: stack the loader's batches and run the
+    whole epoch in one jitted scan (make_eval_epoch). Best combined with a
+    ``cache_on_device`` loader; single-process only."""
+    batches = list(loader)
+    stacked, names, idxs = stack_batches(batches)
+    out = eval_epoch(params, batch_stats, stacked)
+    cm = np.asarray(out["cm"], np.float64)
+    losses = np.asarray(out["loss"], np.float64)
+    preds = np.asarray(out["pose_pred"])
+    preds = preds.reshape((-1,) + preds.shape[2:])
+    if idxs is not None:
+        preds, names = merge_eval_shards(preds, idxs, names)
+    seg = M.seg_metrics(cm)
+    result = {"loss": float(losses.mean()) if losses.size else float("nan"),
+              **seg, "pose_preds": preds, "names": names}
+    if pred_csv is not None and names:
+        M.save_pose_csv(names, preds, pred_csv)
+    if gt_csv is not None and pred_csv is not None and names:
+        pck = M.calc_pck_lip(gt_csv, pred_csv, eval_num=len(names))
         result["pck"] = pck
         result["pck_avg"] = float(pck[-1][-1])
         log_fn(M.pckh_table(pck[-1]))

@@ -75,7 +75,8 @@ class DataLoader:
                  sharding=None, renderer=None, seed: int = 0,
                  prefetch: int = 2, process_index: int | None = None,
                  process_count: int | None = None,
-                 cache_batches: bool = False):
+                 cache_batches: bool = False,
+                 cache_on_device: bool = False):
         """``batch_size`` is the PER-PROCESS batch. With multiple processes
         (multi-host SPMD over DCN) each process loads a disjoint strided
         slice of the globally-shuffled index order — the DistributedSampler
@@ -101,8 +102,14 @@ class DataLoader:
         # epoch). Only valid with shuffle=False; sized for mini-eval splits.
         self.cache_batches = cache_batches
         self._batch_cache: list | None = None
-        assert not (cache_batches and shuffle), \
-            "cache_batches requires shuffle=False (deterministic batches)"
+        # cache_on_device additionally keeps the DEVICE batches (incl.
+        # rendered targets) alive across epochs — no re-upload, no
+        # re-render. Use for mini-eval splits that fit in HBM alongside
+        # the model.
+        self.cache_on_device = cache_on_device
+        self._device_cache: list | None = None
+        assert not ((cache_batches or cache_on_device) and shuffle), \
+            "batch caching requires shuffle=False (deterministic batches)"
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
@@ -161,12 +168,17 @@ class DataLoader:
         return batch
 
     def __iter__(self) -> Iterator[dict]:
+        if self.cache_on_device and self._device_cache is not None:
+            for dev_batch in self._device_cache:
+                yield dict(dev_batch)
+            return
         if self.cache_batches and self._batch_cache is not None:
             for host_batch in self._batch_cache:
                 yield self._to_device(dict(host_batch))
             return
         fill_cache = self.cache_batches
         cache: list = []
+        dev_cache: list = []
         batches = self._indices()
         pool = ThreadPoolExecutor(max_workers=self.num_workers)
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
@@ -196,9 +208,14 @@ class DataLoader:
                     raise item
                 if fill_cache:
                     cache.append(dict(item))
-                yield self._to_device(item)
+                dev = self._to_device(item)
+                if self.cache_on_device:
+                    dev_cache.append(dict(dev))
+                yield dev
             if fill_cache:
                 self._batch_cache = cache
+            if self.cache_on_device:
+                self._device_cache = dev_cache
         finally:
             stop.set()
             pool.shutdown(wait=False)

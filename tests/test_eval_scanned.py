@@ -1,0 +1,46 @@
+"""validate_scanned (one-dispatch scanned epoch) must reproduce validate
+(per-batch dispatch) exactly."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from npp_tpu.core import evaluate as E
+from npp_tpu.core import train as T
+from npp_tpu.core.criterion import PASCAL_CLASS_WEIGHTS
+from npp_tpu.data import DataLoader, SyntheticDataset, make_target_renderer
+
+
+def test_scanned_matches_per_batch(tiny_model_bundle):
+    model, variables, _ = tiny_model_bundle
+    params = {"model": variables["params"],
+              "criterion": T.init_criterion_params(2)}
+    ds = SyntheticDataset(length=8, crop_size=(64, 64), num_joints=14,
+                          num_classes=7, is_train=False)
+    renderer = make_target_renderer(stride=4, sigma=3, num_joints=14)
+    loader = DataLoader(ds, 2, shuffle=False, num_workers=1,
+                        renderer=renderer, cache_on_device=True)
+    kw = dict(num_classes=7, class_weights=PASCAL_CLASS_WEIGHTS,
+              flip_test=True, flip_pairs=(), decode_hw=(64, 64))
+    step = E.make_eval_step(model, **kw)
+    epoch = E.make_eval_epoch(model, **kw)
+
+    r1 = E.validate(step, params, variables["batch_stats"], loader,
+                    num_classes=7, log_fn=lambda s: None)
+    r2 = E.validate_scanned(epoch, params, variables["batch_stats"], loader,
+                            num_classes=7, log_fn=lambda s: None)
+
+    # Tolerances absorb CPU conv-lowering noise between the scanned and
+    # unrolled programs (~1e-4 relative; see tests/test_vmap_fusion.py).
+    assert r1["loss"] == pytest.approx(r2["loss"], rel=5e-4)
+    # Untrained logits are near-uniform, so per-pixel argmax (hence the
+    # confusion matrix) is chaotic under 1e-4 logits noise; compare the
+    # metric loosely but the matrix structure exactly.
+    assert r1["mean_iou"] == pytest.approx(r2["mean_iou"], rel=0.05)
+    # Decode coordinates: untrained heatmaps have near-tie peaks that can
+    # flip under that noise, so require the vast majority to match — a
+    # plumbing bug (wrong stacking/scan/order) would misalign nearly all.
+    close = np.isclose(r1["pose_preds"], r2["pose_preds"], atol=0.51)
+    assert close.mean() > 0.85, close.mean()
+    assert r1["names"] == r2["names"]
