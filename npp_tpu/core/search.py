@@ -89,13 +89,21 @@ def init_search_state(model, weight_tx, arch_tx, rng, sample_image,
 def make_search_steps(model, weight_tx, arch_tx, *, class_weights,
                       ignore_index: int = 255, ohem_thres: float = 0.9,
                       ohem_keep: int = 131072,
-                      use_target_weight: bool = False):
+                      use_target_weight: bool = False,
+                      share_program: bool = True):
     """Returns (weight_step, arch_step), both jitted.
 
     weight_step(state, batch): standard step on the train split.
     arch_step(state, batch, entropy_coef): arch step on the mini split;
     ``entropy_coef`` is 1.0 after the entropy epoch else 0.0
     (function.py:610-617).
+
+    ``share_program=True`` compiles ONE bi-level program: the gradient
+    computation (>99% of the HLO) is shared and a traced branch selects
+    which optimizer applies — halving the full-scale (L=16/C=32/384px)
+    compile time vs two separate programs. The loss scale (reference uses
+    ``loss2 = 2*losses2`` on the arch step, function.py:612) and entropy
+    coefficient become traced scalars.
     """
 
     def _loss(params, batch_stats, batch, scale, entropy_coef):
@@ -109,6 +117,44 @@ def make_search_steps(model, weight_tx, arch_tx, *, class_weights,
         total = scale * loss + 2.0 * ent * entropy_coef
         metrics = dict(metrics, entropy=ent)
         return total, (new_stats, metrics)
+
+    if share_program:
+        def bilevel(state: SearchState, batch, is_arch, entropy_coef):
+            scale = jnp.where(is_arch, 2.0, 1.0)
+            ecoef = jnp.where(is_arch, entropy_coef, 0.0)
+            grads, (new_stats, metrics) = jax.grad(
+                lambda p: _loss(p, state.batch_stats, batch, scale, ecoef),
+                has_aux=True)(state.params)
+
+            def apply_weight(_):
+                u, w_new = weight_tx.update(grads, state.w_opt_state,
+                                            state.params)
+                return (optax.apply_updates(state.params, u), w_new,
+                        state.a_opt_state)
+
+            def apply_arch(_):
+                u, a_new = arch_tx.update(grads, state.a_opt_state,
+                                          state.params)
+                return (optax.apply_updates(state.params, u),
+                        state.w_opt_state, a_new)
+
+            params, w_opt, a_opt = jax.lax.cond(is_arch, apply_arch,
+                                                apply_weight, None)
+            step = state.step + jnp.where(is_arch, 0, 1)
+            return SearchState(step=step, params=params,
+                               batch_stats=new_stats, w_opt_state=w_opt,
+                               a_opt_state=a_opt), metrics
+
+        bilevel = jax.jit(bilevel)
+
+        def weight_step(state, batch):
+            return bilevel(state, batch, jnp.bool_(False), jnp.float32(0.0))
+
+        def arch_step(state, batch, entropy_coef):
+            return bilevel(state, batch, jnp.bool_(True),
+                           jnp.asarray(entropy_coef, jnp.float32))
+
+        return weight_step, arch_step
 
     def weight_step(state: SearchState, batch):
         grads, (new_stats, metrics) = jax.grad(

@@ -45,8 +45,10 @@ def test_mixed_op_downscale_adapter():
 def search_bundle():
     model = SearchNet(num_classes=5, num_joints=4, layers=8,
                       init_channels=8, refine_layers=1, dtype=jnp.float32)
+    # Optimizer constants match tests/test_bilevel_shared.py so the
+    # persistent compile cache shares one search program across files.
     w_tx, a_tx = S.make_search_optimizers(
-        w_lr=1e-3, alpha_lr=1e-3, lr_step=(100,), lr_factor=0.2,
+        w_lr=1e-3, alpha_lr=1e-3, lr_step=(70,), lr_factor=0.2,
         steps_per_epoch=10)
     x = jnp.zeros((2, 64, 64, 3), jnp.float32)
     state = S.init_search_state(model, w_tx, a_tx, jax.random.PRNGKey(0), x,
@@ -77,9 +79,11 @@ def test_supernet_forward_and_arch_params(search_bundle):
 
 def test_bilevel_steps(search_bundle):
     model, w_tx, a_tx, state = search_bundle
+    # ohem_keep matches tests/test_bilevel_shared.py so the persistent
+    # compile cache shares one search program across both files.
     weight_step, arch_step = S.make_search_steps(
         model, w_tx, a_tx, class_weights=LIP_CLASS_WEIGHTS[:5],
-        ohem_keep=256)
+        ohem_keep=64)
     rng = np.random.default_rng(0)
     batch = _batch(rng)
     alphas0 = np.asarray(state.params["model"]["alphas1"]).copy()
