@@ -159,6 +159,54 @@ def bench_pipeline(batch: int = 32, n_batches: int = 8) -> None:
     }))
 
 
+def bench_ppp_multiscale(n_images: int = 8) -> None:
+    """BASELINE.json config 3: Pascal-Person-Part multi-scale sliding-
+    window parsing inference (experiments/pascal, TEST.SCALE_LIST) — the
+    reference's per-tile Python loop (base_dataset.py:182-244) becomes
+    batched tile forwards per scale."""
+    from npp_tpu.core.multiscale import multi_scale_inference
+    from npp_tpu.models.augment import NPPNet
+    from npp_tpu.ops.resize import resize_bilinear
+
+    model = NPPNet(num_classes=7, num_joints=14, layers=16,
+                   init_channels=64, refine_layers=1, dtype=jnp.bfloat16)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
+    variables = jax.device_put(variables)
+
+    @jax.jit
+    def _seg_logits(v, tiles):
+        # Params as jit ARGUMENTS, not closure constants (the remote
+        # compile relay rejects >~100MB inlined weights — HTTP 413).
+        _, par_list = model.apply(v, tiles, train=False)
+        return resize_bilinear(par_list[-1][0].astype(jnp.float32),
+                               (tiles.shape[1], tiles.shape[2]),
+                               align_corners=False)
+
+    def seg_logits(tiles):
+        return _seg_logits(variables, tiles)
+
+    rng = np.random.default_rng(0)
+    image = rng.standard_normal((1, 512, 384, 3)).astype(np.float32)
+    # Warmup: compiles one program per distinct tile-batch shape.
+    multi_scale_inference(seg_logits, image, num_classes=7,
+                          scales=(0.5, 0.75, 1.0, 1.25, 1.5), flip=True)
+    t0 = time.perf_counter()
+    for _ in range(n_images):
+        out = multi_scale_inference(seg_logits, image, num_classes=7,
+                                    scales=(0.5, 0.75, 1.0, 1.25, 1.5),
+                                    flip=True)
+    dt = (time.perf_counter() - t0) / n_images
+    assert out.shape == (1, 512, 384, 7)
+    print(json.dumps({
+        "metric": "ppp_multiscale_seconds_per_image",
+        "value": round(dt, 3), "unit": "s/img",
+        "vs_baseline": None,
+        "extra": {"scales": 5, "flip": True, "size": "512x384",
+                  "images_per_sec": round(1 / dt, 2)},
+    }))
+
+
 def bench_train(batch: int = 16, n_iters: int = 4) -> None:
     """Augment-phase train step at the reference's production scale
     (bs 16, L=16, C=64, 384px — augment_lip_sync.py:207-213 and
@@ -279,10 +327,12 @@ def bench_search_step(full_scale: bool = True) -> None:
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="infer",
-                   choices=["infer", "eval", "pipeline", "search", "train"])
+                   choices=["infer", "eval", "pipeline", "search", "train",
+                            "ppp_ms"])
     args = p.parse_args()
     {"infer": bench_infer, "eval": bench_eval, "pipeline": bench_pipeline,
-     "search": bench_search_step, "train": bench_train}[args.config]()
+     "search": bench_search_step, "train": bench_train,
+     "ppp_ms": bench_ppp_multiscale}[args.config]()
 
 
 if __name__ == "__main__":
