@@ -48,6 +48,38 @@ def test_warmed_and_final_tags(tmp_path):
     assert float(final["step"]) == 15 and fm["epoch"] == 15
 
 
+def test_search_state_roundtrip(tmp_path):
+    """Resume path for a REAL SearchState: stacked (vmapped) fusion-cell
+    params, arch params, and both optimizer states must survive an orbax
+    round trip bit-exactly (reference checkpoint.pth contents,
+    search_lip_sync.py:360-371)."""
+    from npp_tpu.core import search as S
+    from npp_tpu.models.search import ARCH_PARAM_NAMES, SearchNet
+
+    model = SearchNet(num_classes=5, num_joints=4, layers=8,
+                      init_channels=8, refine_layers=1, dtype=jnp.float32)
+    w_tx, a_tx = S.make_search_optimizers(w_lr=1e-3, alpha_lr=1e-3,
+                                          lr_step=(70,), lr_factor=0.2,
+                                          steps_per_epoch=10)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    state = S.init_search_state(model, w_tx, a_tx, jax.random.PRNGKey(0),
+                                x, 2)
+    mgr = CheckpointManager(str(tmp_path / "search_ckpt"))
+    mgr.save(7, state, metrics={"miou": 0.1, "pck": 2.0}, tag="warmed")
+
+    template = jax.tree.map(jnp.zeros_like, state)
+    restored, meta = mgr.restore(template)
+    assert meta["epoch"] == 7 and meta["pck"] == 2.0
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for name in ARCH_PARAM_NAMES:
+        assert name in restored.params["model"]
+    # Stacked fusion-cell params kept their leading edge-group axis.
+    p0 = restored.params["model"]["pose_net_0"]
+    stacked = [k for k in p0 if k.startswith("step_ops_")]
+    assert stacked, sorted(p0)[:5]
+
+
 def test_load_pretrained_params_shape_tolerant():
     template = {"a": jnp.zeros((2, 2)), "b": jnp.zeros((3,)),
                 "nested": {"c": jnp.zeros((4,))}}

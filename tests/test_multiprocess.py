@@ -69,6 +69,52 @@ all_idx = np.asarray(mh.process_allgather(idxs)).reshape(-1)
 assert sorted(all_idx.tolist()) == list(range(8)), all_idx
 
 print(f"MP_OK rank={rank} sum={got:.1f}")
+
+# Full validate() across both processes with a lightweight eval step:
+# per-process loader shards, cross-process cm/loss/pred gather, and
+# dataset-order reconstruction must all agree on every process.
+from npp_tpu.core.evaluate import validate
+
+loader2 = DataLoader(ds, 1, shuffle=False, num_workers=1)
+assert len(loader2) == 4  # 8 samples / 2 processes / bs 1
+
+
+def fake_step(params, batch_stats, batch):
+    i = jnp.mean(batch["image"][0].astype(jnp.float32) * 0) + \
+        jnp.float32(batch["image"][0, 0, 0, 0])
+    return {"loss": jnp.float32(1.0),
+            "cm": jnp.eye(3, dtype=jnp.float32),
+            "pose_pred": jnp.full((1, 16, 3), i)}
+
+
+# Encode the dataset index into the image so predictions are checkable.
+class IndexedDS:
+    def __len__(self):
+        return 8
+
+    def image_names(self):
+        return [f"im{i}" for i in range(8)]
+
+    def __getitem__(self, i):
+        s = ds[i]
+        s = dict(s)
+        im = np.array(s["image"])
+        im[0, 0, 0] = float(i)
+        s["image"] = im
+        return s
+
+
+loader3 = DataLoader(IndexedDS(), 1, shuffle=False, num_workers=1)
+result = validate(fake_step, {}, {}, loader3, num_classes=3,
+                  log_fn=lambda s: None)
+# Every process sees the SAME merged result, in dataset order.
+assert result["names"] == [f"im{i}" for i in range(8)], result["names"]
+np.testing.assert_allclose(result["pose_preds"][:, 0, 0],
+                           np.arange(8, dtype=np.float32), atol=1e-5)
+# cm summed across both processes: 8 batches of eye(3).
+assert abs(result["pixel_acc"] - 1.0) < 1e-6
+assert result["loss"] == 1.0
+print(f"MP_VALIDATE_OK rank={rank}")
 """
 
 
@@ -99,3 +145,5 @@ def test_two_process_distributed_data_parallel(tmp_path):
     for rank, (out, err) in enumerate(outs):
         assert procs[rank].returncode == 0, (rank, out, err[-3000:])
         assert f"MP_OK rank={rank}" in out, (rank, out, err[-2000:])
+        assert f"MP_VALIDATE_OK rank={rank}" in out, (rank, out,
+                                                     err[-2000:])
