@@ -133,8 +133,8 @@ def bench_eval(n_images: int = 128) -> None:
 
 def bench_pipeline(batch: int = 32, n_batches: int = 8) -> None:
     """BASELINE.json config 4: train input pipeline (aug + target gen)."""
-    from npp_tpu.data import (DataLoader, FastLIPDataset, LIPDataset,
-                              SyntheticDataset, make_target_renderer)
+    from npp_tpu.data import (DataLoader, SyntheticDataset,
+                              make_target_renderer)
     from npp_tpu.data import fast_aug
 
     renderer = make_target_renderer(num_joints=16)

@@ -15,7 +15,6 @@ TPU-native re-design of reference ``validate_sync``
 """
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

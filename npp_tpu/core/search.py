@@ -16,7 +16,6 @@ TPU-native re-design of reference ``train_with_alpha``
 """
 from __future__ import annotations
 
-import functools
 from typing import Any, Sequence
 
 import flax

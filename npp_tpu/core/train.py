@@ -20,7 +20,7 @@ Batch layout (all NHWC):
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, Optional, Sequence
+from typing import Any, Sequence
 
 import flax
 import jax
