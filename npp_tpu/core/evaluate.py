@@ -128,9 +128,11 @@ def make_eval_epoch(model, **kw):
     return epoch
 
 
-def stack_batches(batches: list[dict]) -> dict:
-    """Stack same-shape batch dicts along a new leading axis (device-side;
-    names/index stay host-side lists)."""
+def stack_batches(batches: list[dict]):
+    """Stack same-shape batch dicts along a new leading axis.
+
+    Returns (stacked_dict, names, dataset_indices) — arrays stay on
+    device; names/indices are host-side."""
     keys = [k for k in batches[0] if k not in ("names", "index")]
     out = {k: jnp.stack([b[k] for b in batches]) for k in keys}
     names = []
