@@ -264,6 +264,106 @@ def bench_train(batch: int = 16, n_iters: int = 4) -> None:
     }))
 
 
+def bench_train_e2e(batch: int = 16, n_images: int = 96) -> None:
+    """Composed end-to-end training throughput: the REAL epoch driver
+    (engine.train_epoch) with the input pipeline in the loop — host-side
+    synthetic-LIP augmentation, threaded loading, prefetch, device upload,
+    on-device target rendering, jitted train step. The device-only number
+    is ``--config train``; the pipeline-only number is ``--config
+    pipeline``; this measures their composition (the loader prepares batch
+    i+1 while step i executes — overlap via async dispatch + prefetch
+    threads). The epoch is serialized end-to-end by the final loss fetch
+    (state chains every step), so the timing is trustworthy on the axon
+    tunnel."""
+    from npp_tpu import engine
+    from npp_tpu.core import train as T
+    from npp_tpu.core.criterion import LIP_CLASS_WEIGHTS
+    from npp_tpu.data import (DataLoader, SyntheticDataset,
+                              make_target_renderer)
+    from npp_tpu.models.augment import NPPNet
+
+    model = NPPNet(num_classes=20, num_joints=16, layers=16,
+                   init_channels=64, refine_layers=1, dtype=jnp.bfloat16)
+    tx = T.make_train_optimizer(1e-3, lr_step=(100,), lr_factor=0.1,
+                                steps_per_epoch=1000)
+    state = T.init_train_state(model, tx, jax.random.PRNGKey(0),
+                               jnp.zeros((1, 64, 64, 3), jnp.float32),
+                               num_stages=2)
+    step = T.make_train_step(model, tx, class_weights=LIP_CLASS_WEIGHTS,
+                             donate=False)
+    ds = SyntheticDataset(length=n_images, crop_size=(384, 384),
+                          num_joints=16, num_classes=20, is_train=True)
+    loader = DataLoader(ds, batch, shuffle=True, num_workers=8,
+                        renderer=make_target_renderer(num_joints=16))
+    # Warmup epoch: compiles the step and fills OS page caches.
+    state, _, _ = engine.train_epoch(step, state, loader, epoch=0,
+                                     print_freq=10_000)
+    t0 = time.perf_counter()
+    state, loss, _ = engine.train_epoch(step, state, loader, epoch=1,
+                                        print_freq=10_000)
+    dt = time.perf_counter() - t0
+    n = (n_images // batch) * batch
+    print(json.dumps({
+        "metric": "lip384_train_e2e_images_per_sec",
+        "value": round(n / dt, 2), "unit": "img/s",
+        "vs_baseline": None,
+        "extra": {"batch": batch, "steps": n // batch,
+                  "loss": round(float(loss), 3),
+                  "note": "loader+device composed; 1-core dev host is the "
+                  "bound (see pipeline config)"},
+    }))
+
+
+def bench_search_e2e(n_images: int = 28) -> None:
+    """Composed search-epoch throughput: engine.search_epoch with BOTH
+    zipped loaders (train + mini) in the loop at the reference scale
+    (L=16/C=32/bs7/384px). Device bi-level pair is ~2 s/step (--config
+    search); the host pipeline renders ~40 ms/img, so feeding 2x7 images
+    per 2 s step should NOT be loader-bound even on the 1-core host —
+    this config verifies that composition."""
+    from npp_tpu import engine
+    from npp_tpu.core import search as S
+    from npp_tpu.core.criterion import LIP_CLASS_WEIGHTS
+    from npp_tpu.data import (DataLoader, SyntheticDataset,
+                              make_target_renderer)
+    from npp_tpu.models.search import SearchNet
+
+    model = SearchNet(num_classes=20, num_joints=16, layers=16,
+                      init_channels=32, refine_layers=1, dtype=jnp.bfloat16)
+    w_tx, a_tx = S.make_search_optimizers(w_lr=1e-3, alpha_lr=1e-3,
+                                          lr_step=(70,), lr_factor=0.2,
+                                          steps_per_epoch=100)
+    b = 7
+    state = S.init_search_state(model, w_tx, a_tx, jax.random.PRNGKey(0),
+                                jnp.zeros((1, 64, 64, 3), jnp.float32), 2)
+    weight_step, arch_step = S.make_search_steps(
+        model, w_tx, a_tx, class_weights=LIP_CLASS_WEIGHTS)
+    renderer = make_target_renderer(num_joints=16)
+    ds1 = SyntheticDataset(length=n_images, crop_size=(384, 384),
+                           num_joints=16, num_classes=20, is_train=True)
+    ds2 = SyntheticDataset(length=n_images, crop_size=(384, 384),
+                           num_joints=16, num_classes=20, is_train=True,
+                           seed=1)
+    l1 = DataLoader(ds1, b, shuffle=True, num_workers=4, renderer=renderer)
+    l2 = DataLoader(ds2, b, shuffle=True, num_workers=4, renderer=renderer,
+                    seed=1)
+    state, _, _ = engine.search_epoch(weight_step, arch_step, state, l1, l2,
+                                      epoch=0, print_freq=10_000)
+    t0 = time.perf_counter()
+    state, loss, _ = engine.search_epoch(weight_step, arch_step, state, l1,
+                                         l2, epoch=1, print_freq=10_000)
+    dt = time.perf_counter() - t0
+    steps = n_images // b
+    print(json.dumps({
+        "metric": "search_e2e_step_seconds",
+        "value": round(dt / steps, 3), "unit": "s/step",
+        "vs_baseline": None,
+        "extra": {"batch": b, "steps": steps,
+                  "images_per_sec": round(steps * b / dt, 2),
+                  "loss": round(float(loss), 3)},
+    }))
+
+
 def bench_search_step(full_scale: bool = True) -> None:
     """BASELINE.json config 5: supernet search step (fwd+bwd, weight+arch).
 
@@ -328,11 +428,12 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="infer",
                    choices=["infer", "eval", "pipeline", "search", "train",
-                            "ppp_ms"])
+                            "ppp_ms", "train_e2e", "search_e2e"])
     args = p.parse_args()
     {"infer": bench_infer, "eval": bench_eval, "pipeline": bench_pipeline,
      "search": bench_search_step, "train": bench_train,
-     "ppp_ms": bench_ppp_multiscale}[args.config]()
+     "ppp_ms": bench_ppp_multiscale, "train_e2e": bench_train_e2e,
+     "search_e2e": bench_search_e2e}[args.config]()
 
 
 if __name__ == "__main__":

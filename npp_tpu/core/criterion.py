@@ -99,26 +99,35 @@ def pose_loss(outputs: Sequence[tuple[jnp.ndarray, jnp.ndarray]],
 
 def _kth_smallest_bisect(values: jnp.ndarray, valid: jnp.ndarray, k: int,
                          lo: float = 0.0, hi: float = 1.0,
-                         iters: int = 24) -> jnp.ndarray:
-    """k-th smallest of ``values[valid]`` via bisection on a bounded range.
+                         iters: int = 31) -> jnp.ndarray:
+    """EXACT k-th smallest of the non-negative ``values[valid]`` via
+    binary search over fp32 bit patterns.
 
     Replaces the reference's full sort (criterion.py:66) with ``iters``
-    masked-count reductions — exact to ~(hi-lo)/2^iters, and dramatically
-    cheaper on TPU than sorting millions of elements.
+    masked-count reductions — dramatically cheaper on TPU than sorting
+    millions of elements. Non-negative fp32 values are monotonic in their
+    int32 bit patterns, so an integer binary search for the smallest bit
+    pattern t with count(bits <= t) >= k lands exactly on the k-th
+    smallest value's bits in <= 31 steps. Exactness matters because the
+    caller compares ``prob < kth`` strictly (reference criterion.py:66-71):
+    a threshold epsilon above the true value would keep one extra pixel.
     """
-    values = jnp.where(valid, values, hi + 1.0)
+    vals = jnp.where(valid, values.astype(jnp.float32),
+                     jnp.float32(hi) * 2 + 1)
+    bits = jax.lax.bitcast_convert_type(vals, jnp.int32)
+    hi_b = jax.lax.bitcast_convert_type(jnp.float32(hi) * 2 + 1, jnp.int32)
 
     def body(_, state):
-        low, high = state
-        mid = 0.5 * (low + high)
-        count = jnp.sum((values <= mid).astype(jnp.int32))
-        low = jnp.where(count < k, mid, low)
+        low, high = state  # invariant: answer in [low, high]
+        mid = (low + high) // 2
+        count = jnp.sum((bits <= mid).astype(jnp.int32))
+        low = jnp.where(count < k, mid + 1, low)
         high = jnp.where(count < k, high, mid)
         return (low, high)
 
-    low, high = jax.lax.fori_loop(
-        0, iters, body, (jnp.float32(lo), jnp.float32(hi)))
-    return high
+    low, _ = jax.lax.fori_loop(
+        0, iters, body, (jnp.int32(0), hi_b))
+    return jax.lax.bitcast_convert_type(low, jnp.float32)
 
 
 def ohem_cross_entropy(logits: jnp.ndarray, target: jnp.ndarray,

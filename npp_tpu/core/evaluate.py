@@ -131,9 +131,22 @@ def make_eval_epoch(model, **kw):
 def stack_batches(batches: list[dict]):
     """Stack same-shape batch dicts along a new leading axis.
 
+    Requires shape-uniform batches: build the loader with
+    ``drop_last=True`` (its default) so a short tail batch is excluded —
+    with ``drop_last=False`` on a non-divisible dataset the tail batch
+    would fail the uniformity check below (and its samples are simply not
+    scorable by the scanned path; use ``validate`` for exact tails).
+
     Returns (stacked_dict, names, dataset_indices) — arrays stay on
     device; names/indices are host-side."""
     keys = [k for k in batches[0] if k not in ("names", "index")]
+    for k in keys:
+        shapes = {tuple(b[k].shape) for b in batches}
+        if len(shapes) > 1:
+            raise ValueError(
+                f"stack_batches needs shape-uniform batches; key {k!r} has "
+                f"shapes {sorted(shapes)} — use drop_last=True or pad the "
+                f"tail batch")
     out = {k: jnp.stack([b[k] for b in batches]) for k in keys}
     names = []
     idxs = []
@@ -145,19 +158,31 @@ def stack_batches(batches: list[dict]):
 
 
 def merge_eval_shards(preds: np.ndarray, idxs: np.ndarray,
-                      names: list) -> tuple[np.ndarray, list]:
+                      names: Optional[list] = None,
+                      names_src: Optional[list] = None
+                      ) -> tuple[np.ndarray, list]:
     """Reorder gathered predictions into canonical dataset order.
 
     The reference merges per-rank CSVs in rank order
     (core/function.py:997-1013), which interleaves DistributedSampler's
     strided shards — prediction rows land out of GT-row order. Here every
     prediction carries its dataset index, so the merged output is sorted
-    back into dataset order regardless of sharding."""
+    back into dataset order regardless of sharding.
+
+    ``names`` is a per-prediction name list (single-process case);
+    ``names_src`` is a dataset-order name table indexed by dataset index
+    (multi-host case, where only local names exist per process)."""
     order = np.argsort(idxs, kind="stable")
     # Drop wrap-padding duplicates (DistributedSampler pads by repeating).
     keep = np.concatenate([[True], np.diff(idxs[order]) != 0])
     sel = order[keep]
-    return preds[sel], [names[i] for i in sel] if names else []
+    if names:
+        merged_names = [names[i] for i in sel]
+    elif names_src:
+        merged_names = [names_src[i] for i in idxs[sel]]
+    else:
+        merged_names = []
+    return preds[sel], merged_names
 
 
 def validate(eval_step, params, batch_stats, loader, *, num_classes: int,
@@ -218,12 +243,12 @@ def validate(eval_step, params, batch_stats, loader, *, num_classes: int,
             names_src = (loader.dataset.image_names()
                          if hasattr(loader, "dataset")
                          and hasattr(loader.dataset, "image_names") else [])
-            order = np.argsort(idxs, kind="stable")
-            keep = np.concatenate([[True], np.diff(idxs[order]) != 0])
-            sel = order[keep]
-            preds = preds[sel]
-            all_names = [names_src[i] for i in idxs[sel]] if names_src \
-                else []
+            if not names_src and (gt_csv is not None
+                                  or pred_csv is not None):
+                log_fn("validate: dataset has no image_names(); "
+                       "pred_csv/PCKh output will be skipped")
+            preds, all_names = merge_eval_shards(preds, idxs,
+                                                 names_src=names_src)
     elif all_idx:
         idxs = np.concatenate(all_idx)
         preds, all_names = merge_eval_shards(preds, idxs, all_names)
@@ -249,7 +274,13 @@ def validate_scanned(eval_epoch, params, batch_stats, loader, *,
                      pred_csv: Optional[str] = None, log_fn=print) -> dict:
     """Single-dispatch validation: stack the loader's batches and run the
     whole epoch in one jitted scan (make_eval_epoch). Best combined with a
-    ``cache_on_device`` loader; single-process only."""
+    ``cache_on_device`` loader.
+
+    Multi-process: each process scans its own loader shard in one
+    dispatch, then the confusion matrix / losses / predictions are merged
+    over DCN with ``process_allgather`` and reordered by dataset index —
+    same merge as ``validate`` (exercised by tests/test_multiprocess.py);
+    every process returns the same result."""
     batches = list(loader)
     stacked, names, idxs = stack_batches(batches)
     out = eval_epoch(params, batch_stats, stacked)
@@ -257,7 +288,25 @@ def validate_scanned(eval_epoch, params, batch_stats, loader, *,
     losses = np.asarray(out["loss"], np.float64)
     preds = np.asarray(out["pose_pred"])
     preds = preds.reshape((-1,) + preds.shape[2:])
-    if idxs is not None:
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils as mh
+
+        cm = np.asarray(mh.process_allgather(cm)).sum(axis=0)
+        losses = np.ravel(mh.process_allgather(losses))
+        preds = np.asarray(mh.process_allgather(preds)).reshape(
+            (-1,) + preds.shape[1:])
+        if idxs is not None:
+            idxs_g = np.asarray(mh.process_allgather(idxs)).reshape(-1)
+            names_src = (loader.dataset.image_names()
+                         if hasattr(loader, "dataset")
+                         and hasattr(loader.dataset, "image_names") else [])
+            if not names_src and (gt_csv is not None
+                                  or pred_csv is not None):
+                log_fn("validate_scanned: dataset has no image_names(); "
+                       "pred_csv/PCKh output will be skipped")
+            preds, names = merge_eval_shards(preds, idxs_g,
+                                             names_src=names_src)
+    elif idxs is not None:
         preds, names = merge_eval_shards(preds, idxs, names)
     seg = M.seg_metrics(cm)
     result = {"loss": float(losses.mean()) if losses.size else float("nan"),

@@ -36,6 +36,15 @@ class TrainState:
     params: Any          # {'model': ..., 'criterion': {'lamda_pose','lamda_par'}}
     batch_stats: Any
     opt_state: Any
+    # Running sum of criterion-lambda gradients. The reference's train loop
+    # calls ``model.zero_grad()`` (core/function.py:105), which zeroes only
+    # the model's grads — the criterion ``nn.Parameter`` lambdas, registered
+    # as extra optimizer groups (augment_lip_sync.py:211-212), keep
+    # accumulating ``.grad`` across steps, so the Adam update for lambda at
+    # step t sees sum_{s<=t} g_s. Reproduced here (criterion_grad_accum)
+    # because it is the dynamics that produced the reference's released
+    # models; None disables (fresh grads per step).
+    crit_accum: Any = None
 
 
 def multistep_lr(base_lr: float, lr_step: Sequence[int], lr_factor: float,
@@ -132,9 +141,14 @@ def make_train_step_body(model, tx, *, class_weights,
                          ignore_index: int = 255, ohem_thres: float = 0.9,
                          ohem_keep: int = 131072,
                          use_target_weight: bool = False,
-                         task: str = "both"):
+                         task: str = "both",
+                         criterion_grad_accum: bool = True):
     """The pure (unjitted) train-step function — composable into larger
-    jitted programs (chained benches, scan-based epoch loops)."""
+    jitted programs (chained benches, scan-based epoch loops).
+
+    ``criterion_grad_accum`` reproduces the reference's lambda-gradient
+    accumulation (see TrainState.crit_accum); requires the state to carry a
+    non-None ``crit_accum`` tree."""
 
     def step(state: TrainState, batch) -> tuple[TrainState, dict]:
         def loss_fn(params):
@@ -147,10 +161,17 @@ def make_train_step_body(model, tx, *, class_weights,
 
         grads, (new_stats, metrics, _) = jax.grad(loss_fn, has_aux=True)(
             state.params)
+        if criterion_grad_accum:
+            new_accum = jax.tree_util.tree_map(
+                jnp.add, state.crit_accum, grads["criterion"])
+            grads = dict(grads, criterion=new_accum)
+        else:
+            new_accum = state.crit_accum
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         return TrainState(step=state.step + 1, params=new_params,
-                          batch_stats=new_stats, opt_state=new_opt), metrics
+                          batch_stats=new_stats, opt_state=new_opt,
+                          crit_accum=new_accum), metrics
 
     return step
 
@@ -158,7 +179,8 @@ def make_train_step_body(model, tx, *, class_weights,
 def make_train_step(model, tx, *, class_weights,
                     ignore_index: int = 255, ohem_thres: float = 0.9,
                     ohem_keep: int = 131072, donate: bool = True,
-                    use_target_weight: bool = False, task: str = "both"):
+                    use_target_weight: bool = False, task: str = "both",
+                    criterion_grad_accum: bool = True):
     """Build the jitted train step. Under a sharded batch, XLA inserts the
     gradient all-reduce (DDP's role) and global BN moments (SyncBN's role)
     automatically.
@@ -171,7 +193,8 @@ def make_train_step(model, tx, *, class_weights,
     step = make_train_step_body(
         model, tx, class_weights=class_weights, ignore_index=ignore_index,
         ohem_thres=ohem_thres, ohem_keep=ohem_keep,
-        use_target_weight=use_target_weight, task=task)
+        use_target_weight=use_target_weight, task=task,
+        criterion_grad_accum=criterion_grad_accum)
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
@@ -189,12 +212,15 @@ def make_eval_forward(model):
 
 
 def init_train_state(model, tx, rng, sample_image, num_stages: int,
-                     train_init: bool = False) -> TrainState:
+                     train_init: bool = False,
+                     criterion_grad_accum: bool = True) -> TrainState:
     variables = jax.jit(model.init, static_argnames=("train",))(
         rng, sample_image, train=train_init)
     params = {"model": variables["params"],
               "criterion": init_criterion_params(num_stages)}
     opt_state = tx.init(params)
+    crit_accum = (jax.tree_util.tree_map(jnp.zeros_like, params["criterion"])
+                  if criterion_grad_accum else None)
     return TrainState(step=jnp.zeros((), jnp.int32), params=params,
                       batch_stats=variables["batch_stats"],
-                      opt_state=opt_state)
+                      opt_state=opt_state, crit_accum=crit_accum)

@@ -12,6 +12,7 @@ from __future__ import annotations
 from typing import Any, Callable
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from npp_tpu.ops import pooling
@@ -21,21 +22,59 @@ BN_MOMENTUM = 0.1  # torch momentum; flax momentum = 1 - torch momentum
 
 
 class BatchNorm(nn.Module):
-    """BatchNorm2d equivalent (momentum 0.1, eps 1e-5, optional affine)."""
+    """BatchNorm2d equivalent (momentum 0.1, eps 1e-5, optional affine).
+
+    Hand-rolled rather than ``flax.linen.BatchNorm`` for one torch-parity
+    detail: torch updates ``running_var`` with the *unbiased* batch
+    variance (factor n/(n-1)) while normalizing with the biased one
+    (ATen batch_norm semantics; reference BNs are plain
+    ``nn.BatchNorm2d``, models/operations.py:69-103). Flax uses the
+    biased variance for both, which makes running-stat trajectories
+    drift — caught by the train-trajectory oracle test
+    (tests/test_reference_parity_train.py).
+
+    Variable layout matches flax BatchNorm ('batch_stats'/{mean,var},
+    params {scale,bias}) so checkpoints and the torch converter are
+    unaffected. Moments are computed in fp32 regardless of compute
+    dtype. Under a sharded-batch jit the moment reductions are global
+    (SPMD), reproducing reference SyncBN (search_lip_sync.py:268).
+    """
 
     affine: bool = True
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool):
-        return nn.BatchNorm(
-            use_running_average=not train,
-            momentum=1.0 - BN_MOMENTUM,
-            epsilon=1e-5,
-            use_scale=self.affine,
-            use_bias=self.affine,
-            dtype=self.dtype,
-        )(x)
+        ch = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((ch,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((ch,), jnp.float32))
+        if train:
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=(0, 1, 2))
+            mean2 = jnp.mean(jnp.square(xf), axis=(0, 1, 2))
+            var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+            if not self.is_initializing():
+                n = x.shape[0] * x.shape[1] * x.shape[2]
+                unbiased = var * (n / max(n - 1, 1))
+                m = BN_MOMENTUM
+                ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
+                ra_var.value = (1.0 - m) * ra_var.value + m * unbiased
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        inv = jax.lax.rsqrt(var + 1e-5)
+        if self.affine:
+            scale = self.param("scale", nn.initializers.ones, (ch,),
+                               jnp.float32)
+            bias = self.param("bias", nn.initializers.zeros, (ch,),
+                              jnp.float32)
+            inv = inv * scale
+            shift = bias - mean * inv
+        else:
+            shift = -mean * inv
+        y = x.astype(jnp.float32) * inv + shift
+        return y.astype(self.dtype or x.dtype)
 
 
 class Conv(nn.Module):

@@ -33,11 +33,18 @@ def initialize_distributed() -> None:
     addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
     if not addr:
         return
+    num_proc = os.environ.get("JAX_NUM_PROCESSES")
+    proc_id = os.environ.get("JAX_PROCESS_ID")
+    if bool(num_proc) != bool(proc_id):
+        raise RuntimeError(
+            "JAX_NUM_PROCESSES and JAX_PROCESS_ID must be set together "
+            f"(got JAX_NUM_PROCESSES={num_proc!r}, "
+            f"JAX_PROCESS_ID={proc_id!r}); set both explicitly, or "
+            "neither on a managed cluster that auto-detects them.")
     kwargs = {"coordinator_address": addr}
-    if os.environ.get("JAX_NUM_PROCESSES"):
-        kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
-    if os.environ.get("JAX_PROCESS_ID"):
-        kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+    if num_proc:
+        kwargs["num_processes"] = int(num_proc)
+        kwargs["process_id"] = int(proc_id)
     jax.distributed.initialize(**kwargs)
 
 
@@ -63,10 +70,3 @@ def shard_batch(batch: Any, mesh: Mesh, axis_name: str = "data") -> Any:
 def replicate(tree: Any, mesh: Mesh) -> Any:
     sh = replicated_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
-
-
-def local_batch_slice(global_batch: int, mesh: Mesh) -> int:
-    """Per-process share of the global batch for multi-host input feeding."""
-    n = mesh.devices.size
-    assert global_batch % n == 0, (global_batch, n)
-    return global_batch // jax.process_count()

@@ -49,24 +49,52 @@ _INDEXED_TOPS = {
 }
 _IDX_RE = re.compile(r"^(.*?)_(\d+)$")
 
+# Indices of 'pool' primitives in PRIMITIVES_INTER: these MixedOp candidates
+# get an extra affine-free BN appended (model_search_interact.py:48-49); our
+# MixedOp stores them in a separate ``extra_bns`` list.
+_POOL_EXTRA_BN = [3]  # 'max_pool_3x3' (genotypes.py:20-28)
+
+# Tops whose (torch) children are MixedOps / compiled injection ops whose
+# trailing-digit Sequential leaf is an adapter conv, not a head layer.
+_MIXED_TORCH_TOPS = {"_ops1", "_ops2", "up_ops1", "up_ops2"}
+
 
 def _flax_bucket(path: tuple[str, ...]):
-    """(top, idx, second) bucket for one of our param paths."""
+    """(top, idx, chain) bucket for one of our param paths.
+
+    ``chain`` walks nested op lists so that the search supernet's
+    per-candidate modules bucket 1:1 with torch registration: each
+    ``ops_N``/``step (torch ``_ops.N``) hop appends ('ops', N);
+    preprocess convs keep their name; appendages — the MixedOp's appended
+    pool-BN (ours: ``extra_bns_j``; torch: an all-digit Sequential tail)
+    and adapter 1x1 convs (ours: ``proj``; torch: ``extra_conv`` or an
+    all-digit tail) — map to a shared 'app' marker (conv/bn kinds are
+    separated inside the bucket, so one marker serves both)."""
     m = _IDX_RE.match(path[0])
     if m and m.group(1) in _INDEXED_TOPS:
         top, idx = _INDEXED_TOPS[m.group(1)], int(m.group(2))
         rest = path[1:]
     else:
         top, idx, rest = path[0], None, path[1:]
-    second = None
-    if rest:
+    chain: list = []
+    while rest:
+        m2 = _IDX_RE.match(rest[0])
+        if m2 and m2.group(1) == "ops":
+            chain.append(("ops", int(m2.group(2))))
+            rest = rest[1:]
+            continue
+        if m2 and m2.group(1) == "extra_bns":
+            chain.append(("ops", _POOL_EXTRA_BN[int(m2.group(2))]))
+            chain.append("app")
+            break
         if rest[0].startswith("preprocess"):
-            second = rest[0]
-        else:
-            m2 = _IDX_RE.match(rest[0])
-            if m2 and m2.group(1) == "ops":
-                second = ("ops", int(m2.group(2)))
-    return top, idx, second
+            chain.append(rest[0])
+            break
+        if rest[0] == "proj":
+            chain.append("app")
+            break
+        break
+    return top, idx, tuple(chain)
 
 
 _TORCH_INDEXED = set(_INDEXED_TOPS.values())
@@ -80,13 +108,24 @@ def _torch_bucket(prefix: str):
     if top in _TORCH_INDEXED and rest and rest[0].isdigit():
         idx = int(rest[0])
         rest = rest[1:]
-    second = None
-    if rest:
-        if rest[0].startswith("preprocess"):
-            second = rest[0]
-        elif rest[0] == "_ops" and len(rest) > 1 and rest[1].isdigit():
-            second = ("ops", int(rest[1]))
-    return top, idx, second
+    chain: list = []
+    while len(rest) >= 2 and rest[0] == "_ops" and rest[1].isdigit():
+        chain.append(("ops", int(rest[1])))
+        rest = rest[2:]
+    if rest and rest[0].startswith("preprocess"):
+        chain.append(rest[0])
+        rest = rest[1:]
+    elif rest and rest[0] == "extra_conv":
+        chain.append("app")
+        rest = rest[1:]
+    elif (rest and all(c.isdigit() for c in rest)
+          and (chain or top in _MIXED_TORCH_TOPS)):
+        # Sequential-only tail: the appended pool-BN (search MixedOp) or
+        # the Interpolate+1x1 adapter conv (compiled injection/fusion op,
+        # model_augment.py:591-596).
+        chain.append("app")
+        rest = []
+    return top, idx, tuple(chain)
 
 
 def _torch_leaves(state_dict):
@@ -112,9 +151,12 @@ def _torch_leaves(state_dict):
     return buckets
 
 
-def convert_reference_state_dict(state_dict, flax_variables) -> dict:
-    """Returns new flax variables ({'params', 'batch_stats'}) with every
-    conv/BN leaf replaced by the reference checkpoint's values.
+def convert_reference_state_dict(
+        state_dict, flax_variables) -> tuple[dict, dict]:
+    """Returns ``(variables, counts)``: new flax variables
+    ({'params', 'batch_stats'}) with every conv/BN leaf replaced by the
+    reference checkpoint's values, and ``counts`` =
+    ``{'conv': n_converted_convs, 'bn': n_converted_bns}``.
 
     ``state_dict``: torch name -> array-like (tensors or numpy).
     ``flax_variables``: target-structure variables (e.g. ``model.init``
@@ -126,16 +168,19 @@ def convert_reference_state_dict(state_dict, flax_variables) -> dict:
     stats = dict(flatten_dict(flax_variables["batch_stats"]))
 
     # Collect our conv / bn leaf-module path prefixes per bucket, sorted.
+    # BNs are discovered via batch_stats 'mean' (affine=False BNs — the
+    # supernet MixedOp candidates — have no 'scale' param).
     ours: dict[tuple, dict[str, list]] = {}
     for path in sorted(params):
-        if path[-1] == "kernel":
-            kind, prefix = "conv", path[:-1]
-        elif path[-1] == "scale":
-            kind, prefix = "bn", path[:-1]
-        else:
+        if path[-1] != "kernel":
             continue
         b = ours.setdefault(_flax_bucket(path), {"conv": [], "bn": []})
-        b[kind].append(prefix)
+        b["conv"].append(path[:-1])
+    for path in sorted(stats):
+        if path[-1] != "mean":
+            continue
+        b = ours.setdefault(_flax_bucket(path), {"conv": [], "bn": []})
+        b["bn"].append(path[:-1])
 
     unmatched = set(torch_buckets) ^ set(ours)
     if unmatched:
@@ -173,10 +218,16 @@ def convert_reference_state_dict(state_dict, flax_variables) -> dict:
                     params[oprefix + ("bias",)].dtype)
             n_conv += 1
         for (tprefix, tp), oprefix in zip(tb["bn"], ob["bn"]):
-            if tp["weight"].shape != params[oprefix + ("scale",)].shape:
+            if tp["running_mean"].shape != stats[oprefix + ("mean",)].shape:
                 raise ValueError(f"{tprefix}->{'/'.join(oprefix)}: bn shape")
-            params[oprefix + ("scale",)] = tp["weight"].astype(np.float32)
-            params[oprefix + ("bias",)] = tp["bias"].astype(np.float32)
+            has_affine = oprefix + ("scale",) in params
+            if ("weight" in tp) != has_affine:
+                raise ValueError(
+                    f"{tprefix}->{'/'.join(oprefix)}: affine mismatch")
+            if has_affine:
+                params[oprefix + ("scale",)] = tp["weight"].astype(
+                    np.float32)
+                params[oprefix + ("bias",)] = tp["bias"].astype(np.float32)
             stats[oprefix + ("mean",)] = tp["running_mean"].astype(np.float32)
             stats[oprefix + ("var",)] = tp["running_var"].astype(np.float32)
             n_bn += 1
@@ -185,3 +236,87 @@ def convert_reference_state_dict(state_dict, flax_variables) -> dict:
     out["params"] = unflatten_dict(params)
     out["batch_stats"] = unflatten_dict(stats)
     return out, {"conv": n_conv, "bn": n_bn}
+
+
+# Arch-parameter names shared by the reference supernet
+# (model_search_interact.py:778-804) and our SearchNet.
+_ARCH_PARAM_NAMES = (
+    "alphas1", "alphas2", "alphas3", "alphas4", "alphas_pose", "alphas_par",
+    "betas1", "betas2", "betas3", "betas4", "betas_pose", "betas_par",
+)
+
+
+def convert_reference_search_state_dict(state_dict, flax_variables):
+    """Reference ``model_search_interact.Network`` state_dict -> SearchNet
+    flax variables (alphas/betas included).
+
+    ``flax_variables`` must come from a ``SearchNet(vmap_fusion=False)``
+    (the unrolled fusion-cell layout, whose per-edge modules map 1:1 to
+    torch registration); use :func:`fusion_unrolled_to_vmapped` afterwards
+    for the default stacked layout. Returns (variables, counts)."""
+    arch, rest = {}, {}
+    for key, val in state_dict.items():
+        if key in _ARCH_PARAM_NAMES:
+            arch[key] = np.asarray(val)
+        else:
+            rest[key] = val
+    if set(arch) != set(_ARCH_PARAM_NAMES):
+        raise ValueError(f"missing arch params: "
+                         f"{sorted(set(_ARCH_PARAM_NAMES) - set(arch))}")
+    out, counts = convert_reference_state_dict(rest, flax_variables)
+    params = dict(out["params"])
+    for key, val in arch.items():
+        tgt = np.asarray(params[key])
+        if tgt.shape != val.shape:
+            raise ValueError(f"{key}: {val.shape} vs {tgt.shape}")
+        params[key] = val.astype(np.float32)
+    out["params"] = params
+    return out, dict(counts, arch=len(arch))
+
+
+def _convert_fusion_cell(cell: dict, to_vmapped: bool, steps: int = 4):
+    import jax.numpy as jnp
+
+    out = {k: v for k, v in cell.items() if not k.startswith(("ops_",
+                                                              "step_ops_"))}
+    offset = 0
+    for i in range(steps):
+        n = 3 + i
+        if to_vmapped:
+            edges = [flatten_dict(cell[f"ops_{offset + j}"])
+                     for j in range(n)]
+            stacked = {k: jnp.stack([e[k] for e in edges])
+                       for k in edges[0]}
+            out[f"step_ops_{i}"] = unflatten_dict(stacked)
+        else:
+            stacked = flatten_dict(cell[f"step_ops_{i}"])
+            for j in range(n):
+                out[f"ops_{offset + j}"] = unflatten_dict(
+                    {k: v[j] for k, v in stacked.items()})
+        offset += n
+    return out
+
+
+def convert_fusion_layout(tree, to_vmapped: bool, steps: int = 4):
+    """Convert SearchNet pose_net_*/par_net_* fusion-cell subtrees between
+    the unrolled per-edge layout (``ops_{e}``, SearchFusionCell) and the
+    stacked vmapped layout (``step_ops_{i}`` with a leading edge axis,
+    VSearchFusionCell). Works on any variable collection (params /
+    batch_stats / optimizer moments with the same structure). Step ``i``
+    stacks edges ``offset..offset+2+i`` in state order — exactly the vmap
+    axis order of VSearchFusionCell."""
+    out = {}
+    for key, val in tree.items():
+        if key.startswith(("pose_net_", "par_net_")):
+            out[key] = _convert_fusion_cell(val, to_vmapped, steps)
+        else:
+            out[key] = val
+    return out
+
+
+def fusion_unrolled_to_vmapped(variables: dict, steps: int = 4) -> dict:
+    """Migrate SearchNet variables saved in the pre-round-2 unrolled
+    fusion layout (or produced by convert_reference_search_state_dict) to
+    the default vmap_fusion=True layout."""
+    return {coll: convert_fusion_layout(tree, True, steps)
+            for coll, tree in variables.items()}

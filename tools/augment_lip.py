@@ -202,6 +202,7 @@ def main():
             class_weights=class_weights, flip_test=True,
             ignore_index=cfg.train.ignore_label)
     else:
+        size = cfg.model.image_size  # (width, height)
         eval_step = E.make_eval_step(
             model, num_classes=cfg.dataset.num_classes,
             class_weights=class_weights, flip_test=True,
