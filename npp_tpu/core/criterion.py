@@ -97,6 +97,22 @@ def pose_loss(outputs: Sequence[tuple[jnp.ndarray, jnp.ndarray]],
     return total
 
 
+def _onehot(idx: jnp.ndarray, num_classes: int) -> jnp.ndarray:
+    """One-hot used to express per-pixel label lookups as contractions.
+
+    ``table[idx]`` (a 1-D gather by millions of pixel indices) and
+    ``take_along_axis(logp, idx)`` lower to kCustom gather fusions that
+    run at ~1.5 GB/s on TPU (measured: 4 x ~37 ms per bs16/384px train
+    step = 41% of the step), and the take_along_axis backward is a
+    scatter. ``sum(logp * onehot)`` / ``onehot @ table`` instead fuse
+    into the surrounding log_softmax as broadcast-iota-compare-select
+    reductions — VPU-friendly, never materialized, with a plain multiply
+    backward."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, idx.shape + (num_classes,),
+                                    idx.ndim)
+    return (iota == idx[..., None]).astype(jnp.float32)
+
+
 def _kth_smallest_bisect(values: jnp.ndarray, valid: jnp.ndarray, k: int,
                          lo: float = 0.0, hi: float = 1.0,
                          iters: int = 31) -> jnp.ndarray:
@@ -147,8 +163,9 @@ def ohem_cross_entropy(logits: jnp.ndarray, target: jnp.ndarray,
     tgt = jnp.where(valid, target, 0).astype(jnp.int32)
 
     logp = jax.nn.log_softmax(logits, axis=-1)
-    gt_logp = jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
-    w = jnp.asarray(class_weights, jnp.float32)[tgt]
+    onehot = _onehot(tgt, num_classes)
+    gt_logp = jnp.sum(logp * onehot, axis=-1)
+    w = onehot @ jnp.asarray(class_weights, jnp.float32)
     pixel_losses = -gt_logp * w
     gt_prob = jnp.exp(gt_logp)
 
@@ -177,8 +194,9 @@ def weighted_cross_entropy(logits: jnp.ndarray, target: jnp.ndarray,
     valid = target != ignore_index
     tgt = jnp.where(valid, target, 0).astype(jnp.int32)
     logp = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
-    w = weights[tgt] * valid.astype(jnp.float32)
+    onehot = _onehot(tgt, logits.shape[-1])
+    nll = -jnp.sum(logp * onehot, axis=-1)
+    w = (onehot @ weights.astype(jnp.float32)) * valid.astype(jnp.float32)
     return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1e-12)
 
 
