@@ -44,12 +44,20 @@ def confusion_matrix(label: jnp.ndarray, pred: jnp.ndarray,
     counts; rows = GT, cols = pred (utils/utils.py:192-218).
     """
     valid = label != ignore
-    gt = jnp.where(valid, label, 0).astype(jnp.int32)
-    pr = jnp.where(valid, pred, 0).astype(jnp.int32)
-    idx = (gt * num_classes + pr).reshape(-1)
-    counts = jnp.zeros((num_classes * num_classes,), jnp.float32)
-    counts = counts.at[idx].add(valid.reshape(-1).astype(jnp.float32))
-    return counts.reshape(num_classes, num_classes)
+    gt = jnp.where(valid, label, 0).astype(jnp.int32).reshape(-1)
+    pr = jnp.where(valid, pred, 0).astype(jnp.int32).reshape(-1)
+    # One-hot contraction instead of a scatter-add: cm[i,j] =
+    # sum_p valid_p * [gt_p == i] * [pr_p == j]. The scatter (millions of
+    # updates into a C^2 table) ran at ~1 GB/s on TPU — 10.3 ms/batch,
+    # 17% of the eval step; this matmul form takes the MXU. Exact: 0/1
+    # products, fp32 accumulation, counts < 2^24.
+    c = num_classes
+    iota = jax.lax.broadcasted_iota(jnp.int32, (gt.shape[0], c), 1)
+    oh_gt = (iota == gt[:, None]).astype(jnp.float32)
+    oh_pr = ((iota == pr[:, None]) & valid.reshape(-1)[:, None]
+             ).astype(jnp.float32)
+    return jax.lax.dot_general(oh_gt, oh_pr, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
 
 
 def seg_metrics(cm: np.ndarray) -> dict:
