@@ -340,6 +340,18 @@ class SearchNet(nn.Module):
     def __call__(self, x, train: bool = False):
         import jax
 
+        from npp_tpu.ops import pooling
+
+        # Shift-based pools win in the supernet (unfused small-channel
+        # MixedOp pools + select_and_scatter backward; bi-level step
+        # 1.82 -> 1.64 s measured) but lose in the fixed net — opt in
+        # here, at trace time, for this forward only.
+        with pooling.shift_pools():
+            return self._forward(x, train)
+
+    def _forward(self, x, train: bool):
+        import jax
+
         d = self.dtype
         x = x.astype(d)
         s0 = self.stem1(self.stem0(x, train), train)

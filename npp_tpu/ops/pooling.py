@@ -13,11 +13,29 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _pool_dims(kernel: int, stride: int):
-    return (1, kernel, kernel, 1), (1, stride, stride, 1)
-
-
+import contextlib
 import functools
+
+# Trace-time pooling implementation switch. ``reduce_window`` (the
+# default) fuses best in the FIXED net (measured: shift pools cost the
+# bs16 train step +31 ms there, mostly extra backward loop fusions);
+# ``shift`` wins in the SUPERNET where every MixedOp runs an unfused
+# small-channel pool + its select_and_scatter backward (measured:
+# bi-level step 1.82 -> 1.64 s). SearchNet opts into shift pools for
+# its whole forward via :func:`shift_pools`.
+_SHIFT_IMPL = False
+
+
+@contextlib.contextmanager
+def shift_pools(enabled: bool = True):
+    """Use the shifted-slice pooling implementation while tracing."""
+    global _SHIFT_IMPL
+    prev = _SHIFT_IMPL
+    _SHIFT_IMPL = enabled
+    try:
+        yield
+    finally:
+        _SHIFT_IMPL = prev
 
 
 @functools.lru_cache(maxsize=None)
@@ -37,23 +55,66 @@ def _window_counts(h: int, w: int, kernel: int, stride: int,
     return (ch[:, None] * cw[None, :])[None, :, :, None]
 
 
+def _pool_axis(x: jnp.ndarray, axis: int, kernel: int, stride: int,
+               padding: int, pad_value, combine) -> jnp.ndarray:
+    """1-D pooling along ``axis`` as a fold of ``kernel`` shifted strided
+    slices of the padded array (the ``shift`` implementation, see
+    :data:`_SHIFT_IMPL`).
+
+    In the supernet, small-window ``lax.reduce_window`` lowers to a slow
+    loop (~6 GB/s effective per op, measured 138 ms/supernet-step across
+    the MixedOps) and its max-VJP is ``select_and_scatter`` (~0.1 TF/s).
+    Shifted slices + elementwise max/add fuse into plain loop fusions
+    near HBM bandwidth, and the backward is selects (max) / pads (sum) —
+    scatter-free. Max is bit-identical to reduce_window; sum differs
+    only in fp addition order. Tie-broken max GRADIENTS differ (even
+    split across tied window elements vs select_and_scatter's
+    first-element assignment) — both are valid subgradients; exact ties
+    do not arise in the oracle parity tests.
+    """
+    n = x.shape[axis]
+    n_out = (n + 2 * padding - kernel) // stride + 1
+    if padding:
+        pads = [(0, 0)] * x.ndim
+        pads[axis] = (padding, padding)
+        x = jnp.pad(x, pads, constant_values=pad_value)
+    out = None
+    idx = [slice(None)] * x.ndim
+    for d in range(kernel):
+        idx[axis] = slice(d, d + (n_out - 1) * stride + 1, stride)
+        piece = x[tuple(idx)]
+        out = piece if out is None else combine(out, piece)
+    return out
+
+
 def max_pool(x: jnp.ndarray, kernel: int, stride: int, padding: int) -> jnp.ndarray:
-    dims, strides = _pool_dims(kernel, stride)
-    pad = ((0, 0), (padding, padding), (padding, padding), (0, 0))
     init = -np.inf if jnp.issubdtype(x.dtype, jnp.floating) else np.iinfo(
         np.dtype(x.dtype)).min
+    pad_value = np.asarray(init, x.dtype)[()]
+    if _SHIFT_IMPL:
+        x = _pool_axis(x, 1, kernel, stride, padding, pad_value, jnp.maximum)
+        return _pool_axis(x, 2, kernel, stride, padding, pad_value,
+                          jnp.maximum)
+    pad = ((0, 0), (padding, padding), (padding, padding), (0, 0))
     # Literal init value: reduce_window AD requires a known (non-traced)
     # init primal.
-    return jax.lax.reduce_window(x, np.asarray(init, x.dtype)[()],
-                                 jax.lax.max, dims, strides, pad)
+    return jax.lax.reduce_window(x, pad_value, jax.lax.max,
+                                 (1, kernel, kernel, 1),
+                                 (1, stride, stride, 1), pad)
 
 
 def avg_pool(x: jnp.ndarray, kernel: int, stride: int, padding: int, *,
              count_include_pad: bool = True) -> jnp.ndarray:
-    dims, strides = _pool_dims(kernel, stride)
-    pad = ((0, 0), (padding, padding), (padding, padding), (0, 0))
-    summed = jax.lax.reduce_window(x, np.asarray(0, x.dtype)[()],
-                                   jax.lax.add, dims, strides, pad)
+    zero = np.asarray(0, x.dtype)[()]
+    if _SHIFT_IMPL:
+        summed = _pool_axis(x, 1, kernel, stride, padding, zero, jnp.add)
+        summed = _pool_axis(summed, 2, kernel, stride, padding, zero,
+                            jnp.add)
+    else:
+        pad = ((0, 0), (padding, padding), (padding, padding), (0, 0))
+        summed = jax.lax.reduce_window(x, zero, jax.lax.add,
+                                       (1, kernel, kernel, 1),
+                                       (1, stride, stride, 1), pad)
     if count_include_pad or padding == 0:
         return summed / jnp.array(kernel * kernel, x.dtype)
     # Divisor = number of in-bounds elements per window. It only depends on

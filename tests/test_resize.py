@@ -77,6 +77,63 @@ def test_avg_pool_2x2_matches_torch():
     np.testing.assert_allclose(ours, ref, atol=1e-6)
 
 
+@pytest.mark.parametrize("kernel,stride,padding", [(3, 1, 1), (3, 2, 1),
+                                                   (2, 2, 0), (5, 2, 2)])
+def test_shift_max_pool_bit_identical(kernel, stride, padding):
+    # SearchNet traces its forward under shift_pools() (models/search.py);
+    # max must be BIT-identical to the reduce_window default.
+    from npp_tpu.ops import pooling
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((2, 12, 12, 4)).astype(np.float32))
+    base = np.asarray(max_pool(x, kernel, stride, padding))
+    with pooling.shift_pools():
+        shift = np.asarray(max_pool(x, kernel, stride, padding))
+    assert np.array_equal(base, shift)
+
+
+@pytest.mark.parametrize("count_include_pad", [True, False])
+def test_shift_avg_pool_matches_torch(count_include_pad):
+    from npp_tpu.ops import pooling
+    rng = np.random.default_rng(8)
+    x = rng.standard_normal((2, 12, 12, 4)).astype(np.float32)
+    with pooling.shift_pools():
+        ours = np.asarray(avg_pool(jnp.asarray(x), 3, 1, 1,
+                                   count_include_pad=count_include_pad))
+    ref = _nhwc(torch.nn.AvgPool2d(3, 1, 1,
+                                   count_include_pad=count_include_pad)(
+                                       _nchw(x)))
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+def test_shift_pool_grads_match_torch():
+    # avg grads are linear (must match exactly); max grads match wherever
+    # the window max is unique (ties: shift splits evenly, torch assigns
+    # the first element — both valid subgradients, so ties are excluded).
+    import jax
+    from npp_tpu.ops import pooling
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal((1, 8, 8, 2)).astype(np.float32)
+
+    def loss_avg(z):
+        with pooling.shift_pools():
+            return avg_pool(z, 3, 2, 1, count_include_pad=False).sum()
+
+    def loss_max(z):
+        with pooling.shift_pools():
+            return max_pool(z, 3, 2, 1).sum()
+
+    g_avg = np.asarray(jax.grad(loss_avg)(jnp.asarray(x)))
+    g_max = np.asarray(jax.grad(loss_max)(jnp.asarray(x)))
+
+    t = _nchw(x).requires_grad_(True)
+    torch.nn.AvgPool2d(3, 2, 1, count_include_pad=False)(t).sum().backward()
+    np.testing.assert_allclose(g_avg, _nhwc(t.grad), atol=1e-6)
+
+    t2 = _nchw(x).requires_grad_(True)
+    torch.nn.MaxPool2d(3, 2, 1)(t2).sum().backward()
+    np.testing.assert_allclose(g_max, _nhwc(t2.grad), atol=1e-6)
+
+
 @pytest.mark.parametrize("out", [(1, 1), (2, 2), (3, 3), (1, 12), (12, 1),
                                  (5, 7)])
 def test_adaptive_avg_pool_matches_torch(out):
