@@ -103,9 +103,11 @@ def bench_eval(n_images: int = 128) -> None:
     params = {"model": variables["params"],
               "criterion": T.init_criterion_params(2)}
     ds = SyntheticDataset(length=n_images, crop_size=(384, 384),
-                          num_joints=16, num_classes=20, is_train=False)
+                          num_joints=16, num_classes=20, is_train=False,
+                          device_normalize=True)
     loader = DataLoader(ds, 8, shuffle=False, num_workers=4,
-                        renderer=make_target_renderer(num_joints=16),
+                        renderer=make_target_renderer(
+                            num_joints=16, normalize_images=True),
                         cache_on_device=True)
     epoch = E.make_eval_epoch(model, num_classes=20,
                               class_weights=LIP_CLASS_WEIGHTS,
@@ -137,9 +139,10 @@ def bench_pipeline(batch: int = 32, n_batches: int = 8) -> None:
                               make_target_renderer)
     from npp_tpu.data import fast_aug
 
-    renderer = make_target_renderer(num_joints=16)
+    renderer = make_target_renderer(num_joints=16, normalize_images=True)
     ds = SyntheticDataset(length=batch * n_batches, crop_size=(384, 384),
-                          num_joints=16, num_classes=20)
+                          num_joints=16, num_classes=20,
+                          device_normalize=True)
     loader = DataLoader(ds, batch, shuffle=True, num_workers=8,
                         renderer=renderer)
     for b in loader:  # warmup epoch (compiles renderer)
@@ -292,9 +295,11 @@ def bench_train_e2e(batch: int = 16, n_images: int = 96) -> None:
     step = T.make_train_step(model, tx, class_weights=LIP_CLASS_WEIGHTS,
                              donate=False)
     ds = SyntheticDataset(length=n_images, crop_size=(384, 384),
-                          num_joints=16, num_classes=20, is_train=True)
+                          num_joints=16, num_classes=20, is_train=True,
+                          device_normalize=True)
     loader = DataLoader(ds, batch, shuffle=True, num_workers=8,
-                        renderer=make_target_renderer(num_joints=16))
+                        renderer=make_target_renderer(
+                            num_joints=16, normalize_images=True))
     # Warmup epoch: compiles the step and fills OS page caches.
     state, _, _ = engine.train_epoch(step, state, loader, epoch=0,
                                      print_freq=10_000)
@@ -338,12 +343,13 @@ def bench_search_e2e(n_images: int = 28) -> None:
                                 jnp.zeros((1, 64, 64, 3), jnp.float32), 2)
     weight_step, arch_step = S.make_search_steps(
         model, w_tx, a_tx, class_weights=LIP_CLASS_WEIGHTS)
-    renderer = make_target_renderer(num_joints=16)
+    renderer = make_target_renderer(num_joints=16, normalize_images=True)
     ds1 = SyntheticDataset(length=n_images, crop_size=(384, 384),
-                           num_joints=16, num_classes=20, is_train=True)
+                           num_joints=16, num_classes=20, is_train=True,
+                           device_normalize=True)
     ds2 = SyntheticDataset(length=n_images, crop_size=(384, 384),
                            num_joints=16, num_classes=20, is_train=True,
-                           seed=1)
+                           seed=1, device_normalize=True)
     l1 = DataLoader(ds1, b, shuffle=True, num_workers=4, renderer=renderer)
     l2 = DataLoader(ds2, b, shuffle=True, num_workers=4, renderer=renderer,
                     seed=1)

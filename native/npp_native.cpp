@@ -111,6 +111,40 @@ void warp_image(const uint8_t* src, int sh, int sw, const Affine& t,
   }
 }
 
+void warp_image_u8(const uint8_t* src, int sh, int sw, const Affine& t,
+                   uint8_t* dst, int oh, int ow) {
+  // Bilinear sample with 128-gray border, kept as uint8 (the ImageNet
+  // normalization runs on DEVICE in the loader renderer — 4x fewer
+  // host->device bytes than the float path above).
+  for (int y = 0; y < oh; ++y) {
+    for (int x = 0; x < ow; ++x) {
+      const float xs = t.a * x + t.b * y + t.c;
+      const float ys = t.d * x + t.e * y + t.f;
+      float rgb[3];
+      if (xs < -1.0f || ys < -1.0f || xs > sw || ys > sh) {
+        rgb[0] = rgb[1] = rgb[2] = 128.0f;
+      } else {
+        const int x0 = (int)std::floor(xs), y0 = (int)std::floor(ys);
+        const float fx = xs - x0, fy = ys - y0;
+        for (int c = 0; c < 3; ++c) {
+          auto at = [&](int yy, int xx) -> float {
+            if (xx < 0 || yy < 0 || xx >= sw || yy >= sh) return 128.0f;
+            return (float)src[(yy * sw + xx) * 3 + c];
+          };
+          const float v0 = at(y0, x0) * (1 - fx) + at(y0, x0 + 1) * fx;
+          const float v1 = at(y0 + 1, x0) * (1 - fx) + at(y0 + 1, x0 + 1) * fx;
+          rgb[c] = v0 * (1 - fy) + v1 * fy;
+        }
+      }
+      uint8_t* out = dst + (y * ow + x) * 3;
+      for (int c = 0; c < 3; ++c) {
+        float v = rgb[c] + 0.5f;
+        out[c] = (uint8_t)(v < 0.0f ? 0.0f : (v > 255.0f ? 255.0f : v));
+      }
+    }
+  }
+}
+
 void warp_label(const uint8_t* src, int sh, int sw, const Affine& t,
                 uint8_t* dst, int oh, int ow, const uint8_t* swap_lut) {
   // Nearest sample with 255 (ignore) border + class LUT (flip swap).
@@ -205,6 +239,21 @@ void npp_fused_augment(const uint8_t* image, const uint8_t* label,
                flip ? swap_lut : nullptr);
 }
 
+// uint8-output variant: same warp, no normalization (device-normalize
+// pipelines; see data/fast_aug.py fused_augment(..., as_uint8=True)).
+void npp_fused_augment_u8(const uint8_t* image, const uint8_t* label,
+                          int src_h, int src_w, float scale, float rot_deg,
+                          float crop_dx, float crop_dy, int flip,
+                          int out_h, int out_w, const uint8_t* swap_lut,
+                          uint8_t* out_img, uint8_t* out_label) {
+  const Affine t = build_inverse_affine(scale, rot_deg, src_h, src_w,
+                                        crop_dx, crop_dy, out_w, flip);
+  warp_image_u8(image, src_h, src_w, t, out_img, out_h, out_w);
+  if (label && out_label)
+    warp_label(label, src_h, src_w, t, out_label, out_h, out_w,
+               flip ? swap_lut : nullptr);
+}
+
 // Batched variant over the thread pool. Per-sample arrays are passed as
 // pointer tables; geometry params as flat float arrays.
 void npp_fused_augment_batch(const uint8_t** images, const uint8_t** labels,
@@ -250,6 +299,6 @@ void npp_transform_joints(float* joints, int n_joints, int src_h, int src_w,
   }
 }
 
-int npp_native_version() { return 1; }
+int npp_native_version() { return 2; }
 
 }  // extern "C"

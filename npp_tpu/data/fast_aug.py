@@ -52,6 +52,14 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
     ]
+    if hasattr(lib, "npp_fused_augment_u8"):
+        lib.npp_fused_augment_u8.restype = None
+        lib.npp_fused_augment_u8.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
     lib.npp_transform_joints.restype = None
     lib.npp_transform_joints.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -82,17 +90,18 @@ def fused_augment(image: np.ndarray, label: Optional[np.ndarray],
                   joints: Optional[np.ndarray], *, scale: float,
                   rot_deg: float, crop_dx: float, crop_dy: float,
                   flip: bool, out_hw: tuple[int, int],
-                  swap_lut: Optional[np.ndarray] = None):
+                  swap_lut: Optional[np.ndarray] = None,
+                  as_uint8: bool = False):
     """One-pass augmented sample.
 
-    Returns (out_img f32 (H,W,3) normalized, out_label uint8 (H,W) or
+    Returns (out_img (H,W,3) — f32 ImageNet-normalized, or raw uint8 when
+    ``as_uint8`` (device-normalize pipelines) — out_label uint8 (H,W) or
     None, joints transformed (copy) or None).
     """
     lib = _load()
     assert lib is not None, "native library not built (make -C native)"
     oh, ow = out_hw
     image = np.ascontiguousarray(image, np.uint8)
-    out_img = np.empty((oh, ow, 3), np.float32)
     out_label = None
     label_ptr = None
     out_label_ptr = None
@@ -103,16 +112,30 @@ def fused_augment(image: np.ndarray, label: Optional[np.ndarray],
         out_label_ptr = out_label.ctypes.data_as(ctypes.c_void_p)
     lut = (np.ascontiguousarray(swap_lut, np.uint8)
            if swap_lut is not None else make_swap_lut(()))
-    lib.npp_fused_augment(
-        image.ctypes.data_as(ctypes.c_void_p), label_ptr,
-        image.shape[0], image.shape[1],
-        ctypes.c_float(scale), ctypes.c_float(rot_deg),
-        ctypes.c_float(crop_dx), ctypes.c_float(crop_dy),
-        int(flip), oh, ow,
-        _MEAN.ctypes.data_as(ctypes.c_void_p),
-        _STD.ctypes.data_as(ctypes.c_void_p),
-        lut.ctypes.data_as(ctypes.c_void_p),
-        out_img.ctypes.data_as(ctypes.c_void_p), out_label_ptr)
+    if as_uint8:
+        assert hasattr(lib, "npp_fused_augment_u8"), \
+            "stale native library — rebuild with make -C native"
+        out_img = np.empty((oh, ow, 3), np.uint8)
+        lib.npp_fused_augment_u8(
+            image.ctypes.data_as(ctypes.c_void_p), label_ptr,
+            image.shape[0], image.shape[1],
+            ctypes.c_float(scale), ctypes.c_float(rot_deg),
+            ctypes.c_float(crop_dx), ctypes.c_float(crop_dy),
+            int(flip), oh, ow,
+            lut.ctypes.data_as(ctypes.c_void_p),
+            out_img.ctypes.data_as(ctypes.c_void_p), out_label_ptr)
+    else:
+        out_img = np.empty((oh, ow, 3), np.float32)
+        lib.npp_fused_augment(
+            image.ctypes.data_as(ctypes.c_void_p), label_ptr,
+            image.shape[0], image.shape[1],
+            ctypes.c_float(scale), ctypes.c_float(rot_deg),
+            ctypes.c_float(crop_dx), ctypes.c_float(crop_dy),
+            int(flip), oh, ow,
+            _MEAN.ctypes.data_as(ctypes.c_void_p),
+            _STD.ctypes.data_as(ctypes.c_void_p),
+            lut.ctypes.data_as(ctypes.c_void_p),
+            out_img.ctypes.data_as(ctypes.c_void_p), out_label_ptr)
     out_joints = None
     if joints is not None:
         out_joints = np.ascontiguousarray(joints, np.float32).copy()

@@ -44,7 +44,8 @@ class LIPDataset:
                  crop_size=(384, 384), sigma=3, pose_net_stride=4,
                  scale_min=0.7, scale_max=1.3, max_rotate_degree=40,
                  max_center_trans=40, flip_prob=0.5, is_train=True,
-                 sample=-1, inv_order=False, seed=None):
+                 sample=-1, inv_order=False, seed=None,
+                 device_normalize=False):
         self.root = root
         self.im_root = os.path.join(root, im_root)
         self.parsing_anno_root = os.path.join(root, parsing_anno_root)
@@ -62,6 +63,10 @@ class LIPDataset:
         self.max_center_trans = max_center_trans
         self.flip_prob = flip_prob
         self.is_train = is_train
+        # device_normalize: ship raw uint8 images (4x fewer transfer
+        # bytes); the loader renderer (normalize_images=True) applies the
+        # ImageNet normalization on device.
+        self.device_normalize = device_normalize
         self.rng = np.random.default_rng(seed)
 
     def __len__(self):
@@ -134,9 +139,10 @@ class LIPDataset:
                 stride=1, flip_pairs=flip_pairs)
             image = im_c
 
+        image = np.ascontiguousarray(image.astype(np.uint8))
         return {
-            "image": normalize_image(np.ascontiguousarray(
-                image.astype(np.uint8))),
+            "image": (image if self.device_normalize
+                      else normalize_image(image)),
             "par": par.astype(np.uint8),
             "joints": joints.astype(np.float32),
             "visibility": visibility.astype(np.float32),
@@ -200,7 +206,7 @@ class FastLIPDataset(LIPDataset):
         out_img, out_par, out_joints = fast_aug.fused_augment(
             im, parsing_anno, joints.astype(np.float32), scale=scale,
             rot_deg=deg, crop_dx=crop_dx, crop_dy=crop_dy, flip=flip,
-            out_hw=(ch, cw), swap_lut=lut)
+            out_hw=(ch, cw), swap_lut=lut, as_uint8=self.device_normalize)
         if flip:
             out_joints = aug.swap_left_and_right(out_joints, flip_right,
                                                  flip_left)

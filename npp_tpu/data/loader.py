@@ -34,9 +34,19 @@ def collate(samples: list[dict]) -> dict:
 
 def make_target_renderer(*, stride: int = 4, sigma: float = 3,
                          num_joints: int = 16, edge_width: int = 3,
-                         ignore: int = 255):
+                         ignore: int = 255, normalize_images: bool = False):
     """Jitted on-device target completion: joints -> heatmaps (+aux),
-    parsing labels -> edge map (data_loader.py:247-284 equivalents)."""
+    parsing labels -> edge map (data_loader.py:247-284 equivalents).
+
+    With ``normalize_images=True`` the ImageNet normalization
+    (data_loader.py's transform, reference mean/std) ALSO runs on device:
+    datasets built with ``device_normalize=True`` ship raw uint8 images —
+    4x fewer host->device bytes and no host-side float conversion — and
+    the renderer emits the normalized float ``image``.
+    """
+    from npp_tpu.data.lip import IMAGENET_MEAN, IMAGENET_STD
+    mean = jnp.asarray(IMAGENET_MEAN)
+    std = jnp.asarray(IMAGENET_STD)
 
     @jax.jit
     def render(image, par, joints, visibility):
@@ -51,12 +61,21 @@ def make_target_renderer(*, stride: int = 4, sigma: float = 3,
         edge = jnp.where(par == ignore, ignore,
                          edge.astype(jnp.int32))
         # Drop the background channel for the loss (function.py:902-905).
-        return {
+        out = {
             "pose": pose[..., :num_joints],
             "pose_aux": pose_aux[..., :num_joints],
             "edge": edge,
             "pose_weight": visibility,
         }
+        if normalize_images:
+            out["image"] = (image.astype(jnp.float32) / 255.0 - mean) / std
+        elif image.dtype == jnp.uint8:
+            raise ValueError(
+                "loader received uint8 images but the renderer was built "
+                "with normalize_images=False — build the dataset with "
+                "device_normalize=False or the renderer with "
+                "normalize_images=True")
+        return out
 
     return render
 

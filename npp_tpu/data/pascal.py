@@ -89,7 +89,8 @@ class PPPDataset(LIPDataset):
                  parsing_anno_path, mask_path, *, crop_size=(384, 384),
                  sigma=3, pose_net_stride=4, scale_min=0.5, scale_max=1.25,
                  max_rotate_degree=40, max_center_trans=40, flip_prob=0.5,
-                 is_train=True, sample=-1, inv_order=False, seed=None):
+                 is_train=True, sample=-1, inv_order=False, seed=None,
+                 device_normalize=False):
         self.root = root
         self.im_root = os.path.join(root, im_root)
         self.parsing_anno_path = os.path.join(root, parsing_anno_path)
@@ -108,6 +109,7 @@ class PPPDataset(LIPDataset):
         self.max_center_trans = max_center_trans
         self.flip_prob = flip_prob
         self.is_train = is_train
+        self.device_normalize = device_normalize
         self.rng = np.random.default_rng(seed)
 
     def __len__(self):

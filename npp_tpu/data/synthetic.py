@@ -16,7 +16,8 @@ class SyntheticDataset:
     """Same sample dict interface as LIPDataset."""
 
     def __init__(self, *, length=64, crop_size=(384, 384), num_joints=16,
-                 num_classes=20, seed=0, is_train=True):
+                 num_classes=20, seed=0, is_train=True,
+                 device_normalize=False):
         self.length = length
         self.crop_size = crop_size
         self.num_joints = num_joints
@@ -24,6 +25,9 @@ class SyntheticDataset:
         self.seed = seed
         self.is_train = is_train
         self.flip_pairs = ()
+        # Ship raw uint8 images; the loader's renderer (built with
+        # normalize_images=True) normalizes on device.
+        self.device_normalize = device_normalize
 
     def __len__(self):
         return self.length
@@ -49,7 +53,11 @@ class SyntheticDataset:
                   max(cx - half, 0):cx + half] = (cls * 12) % 255
             joints[j] = (cx, cy)
         vis = (rng.random(self.num_joints) > 0.1).astype(np.float32)
-        img = (image.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+        if self.device_normalize:
+            img = image
+        else:
+            img = (image.astype(np.float32) / 255.0
+                   - IMAGENET_MEAN) / IMAGENET_STD
         return {
             "image": img,
             "par": par,

@@ -52,6 +52,11 @@ class BatchNorm(nn.Module):
                                lambda: jnp.ones((ch,), jnp.float32))
         if train:
             xf = x.astype(jnp.float32)
+            # One-pass algebraic moments. XLA fuses both reductions into
+            # the producing conv's epilogue (multi-output "convert_reduce"
+            # convolution fusions running near MXU peak — verified by
+            # device trace; an explicit variadic lax.reduce measured
+            # exactly equal).
             mean = jnp.mean(xf, axis=(0, 1, 2))
             mean2 = jnp.mean(jnp.square(xf), axis=(0, 1, 2))
             var = jnp.maximum(mean2 - jnp.square(mean), 0.0)

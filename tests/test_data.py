@@ -45,6 +45,64 @@ def test_loader_renders_targets_on_device():
     assert set(np.unique(edge)).issubset({0, 1, 255})
 
 
+def test_device_normalize_matches_host_path():
+    # uint8-transfer mode: dataset ships raw uint8, the renderer applies
+    # the ImageNet normalization on device — batches must equal the
+    # host-normalized float path to float rounding.
+    host_ds = SyntheticDataset(length=8, crop_size=(96, 96), num_joints=16)
+    dev_ds = SyntheticDataset(length=8, crop_size=(96, 96), num_joints=16,
+                              device_normalize=True)
+    host_loader = DataLoader(
+        host_ds, batch_size=4, shuffle=False, num_workers=2,
+        renderer=make_target_renderer(stride=4, sigma=3, num_joints=16))
+    dev_loader = DataLoader(
+        dev_ds, batch_size=4, shuffle=False, num_workers=2,
+        renderer=make_target_renderer(stride=4, sigma=3, num_joints=16,
+                                      normalize_images=True))
+    for hb, db in zip(host_loader, dev_loader):
+        assert db["image"].dtype == jnp.float32
+        np.testing.assert_allclose(np.asarray(db["image"]),
+                                   np.asarray(hb["image"]), atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(db["edge"]),
+                                      np.asarray(hb["edge"]))
+        np.testing.assert_allclose(np.asarray(db["pose"]),
+                                   np.asarray(hb["pose"]), atol=1e-6)
+
+
+def test_uint8_without_normalizing_renderer_raises():
+    ds = SyntheticDataset(length=4, crop_size=(96, 96), num_joints=16,
+                          device_normalize=True)
+    loader = DataLoader(ds, batch_size=4, shuffle=False, num_workers=1,
+                        renderer=make_target_renderer(stride=4, sigma=3,
+                                                      num_joints=16))
+    with pytest.raises(ValueError, match="uint8"):
+        next(iter(loader))
+
+
+def test_fast_lip_device_normalize_eval_parity(tmp_path):
+    # The native uint8 warp must match the native float warp after device
+    # normalization, up to the uint8 rounding quantum.
+    from npp_tpu.data import fast_aug
+    from npp_tpu.data.lip import IMAGENET_MEAN, IMAGENET_STD
+
+    if not fast_aug.is_available():
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 255, (120, 100, 3)).astype(np.uint8)
+    lab = rng.integers(0, 20, (120, 100)).astype(np.uint8)
+    f32, l1, _ = fast_aug.fused_augment(
+        img, lab, None, scale=1.1, rot_deg=20.0, crop_dx=-4.0, crop_dy=6.0,
+        flip=True, out_hw=(96, 96))
+    u8, l2, _ = fast_aug.fused_augment(
+        img, lab, None, scale=1.1, rot_deg=20.0, crop_dx=-4.0, crop_dy=6.0,
+        flip=True, out_hw=(96, 96), as_uint8=True)
+    np.testing.assert_array_equal(l1, l2)
+    renorm = (u8.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+    # half-quantum rounding / min std ~= 0.5/255/0.224
+    assert np.abs(renorm - f32).max() < 0.5 / 255.0 / IMAGENET_STD.min() \
+        + 1e-5
+
+
 def test_loader_shuffle_reseeds_by_epoch():
     ds = SyntheticDataset(length=16, crop_size=(32, 32))
     loader = DataLoader(ds, batch_size=4, shuffle=True, num_workers=1)

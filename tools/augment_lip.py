@@ -51,25 +51,32 @@ def build_loaders(cfg, args, mesh):
     from npp_tpu.parallel.mesh import batch_sharding
 
     size = (128, 128) if args.tiny else tuple(cfg.model.image_size)
+    # Images ship to the TPU as raw uint8 (4x fewer bytes over PCIe/tunnel)
+    # and the ImageNet normalization runs fused in the device-side target
+    # renderer.
     renderer = make_target_renderer(stride=4, sigma=cfg.model.sigma,
                                     num_joints=cfg.dataset.num_joints,
-                                    ignore=cfg.train.ignore_label)
+                                    ignore=cfg.train.ignore_label,
+                                    normalize_images=True)
     sharding = batch_sharding(mesh)
     if args.synthetic:
         train_ds = SyntheticDataset(length=max(4 * cfg.train.batch_size, 32),
                                     crop_size=size,
                                     num_joints=cfg.dataset.num_joints,
-                                    num_classes=cfg.dataset.num_classes)
+                                    num_classes=cfg.dataset.num_classes,
+                                    device_normalize=True)
         val_ds = SyntheticDataset(length=2 * cfg.train.batch_size,
                                   crop_size=size,
                                   num_joints=cfg.dataset.num_joints,
                                   num_classes=cfg.dataset.num_classes,
-                                  is_train=False, seed=7)
+                                  is_train=False, seed=7,
+                                  device_normalize=True)
     elif cfg.dataset.dataset == "ppp":
         from npp_tpu.data import PPPDataset
 
         root = cfg.dataset.root
-        common = dict(crop_size=size, sigma=cfg.model.sigma)
+        common = dict(crop_size=size, sigma=cfg.model.sigma,
+                      device_normalize=True)
         train_ds = PPPDataset(root, cfg.dataset.train_imroot, "train_id.txt",
                               "PersonJoints", cfg.dataset.train_segroot,
                               "masks", is_train=True, **common)
@@ -84,11 +91,13 @@ def build_loaders(cfg, args, mesh):
         root = cfg.dataset.root
         train_ds = cls(root, cfg.dataset.train_imroot,
                        cfg.train.train_set, cfg.dataset.train_segroot,
-                       crop_size=size, sigma=cfg.model.sigma, is_train=True)
+                       crop_size=size, sigma=cfg.model.sigma, is_train=True,
+                       device_normalize=True)
         val_ds = cls(root, cfg.dataset.val_imroot, cfg.train.test_set,
                      cfg.dataset.val_segroot, crop_size=size,
                      sigma=cfg.model.sigma, is_train=False,
-                     sample=cfg.train.num_samples or -1)
+                     sample=cfg.train.num_samples or -1,
+                     device_normalize=True)
     train_loader = DataLoader(train_ds, cfg.train.batch_size, shuffle=True,
                               num_workers=cfg.workers, sharding=sharding,
                               renderer=renderer)

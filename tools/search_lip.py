@@ -67,15 +67,18 @@ def main():
     logger.info(f"devices: {jax.devices()}")
 
     size = (128, 128) if args.tiny else tuple(cfg.model.image_size)
+    # uint8 transfer + fused on-device normalization (see augment_lip.py).
     renderer = make_target_renderer(stride=4, sigma=cfg.model.sigma,
                                     num_joints=cfg.dataset.num_joints,
-                                    ignore=cfg.train.ignore_label)
+                                    ignore=cfg.train.ignore_label,
+                                    normalize_images=True)
     sharding = batch_sharding(mesh)
     bs = cfg.search.batch_size
     if args.synthetic:
         mk = lambda n, seed, train: SyntheticDataset(
             length=n, crop_size=size, num_joints=cfg.dataset.num_joints,
-            num_classes=cfg.dataset.num_classes, seed=seed, is_train=train)
+            num_classes=cfg.dataset.num_classes, seed=seed, is_train=train,
+            device_normalize=True)
         train_ds, mini_ds = mk(8 * bs, 0, True), mk(8 * bs, 1, True)
         val_ds = mk(2 * bs, 2, False)
     else:
@@ -85,7 +88,7 @@ def main():
             else cfg.dataset.val_imroot, anno,
             cfg.dataset.train_segroot if train else cfg.dataset.val_segroot,
             crop_size=size, sigma=cfg.model.sigma, is_train=train,
-            sample=sample, inv_order=inv)
+            sample=sample, inv_order=inv, device_normalize=True)
         train_ds = mk(cfg.search.train_set, True)
         mini_ds = mk(cfg.search.mini_set, True)
         val_ds = mk(cfg.search.test_set, False, sample=5000)
