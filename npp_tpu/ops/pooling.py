@@ -17,18 +17,23 @@ import contextlib
 import functools
 
 # Trace-time pooling implementation switch. ``reduce_window`` (the
-# default) fuses best in the FIXED net (measured: shift pools cost the
-# bs16 train step +31 ms there, mostly extra backward loop fusions);
-# ``shift`` wins in the SUPERNET where every MixedOp runs an unfused
-# small-channel pool + its select_and_scatter backward (measured:
-# bi-level step 1.82 -> 1.64 s). SearchNet opts into shift pools for
-# its whole forward via :func:`shift_pools`.
-_SHIFT_IMPL = False
+# default, mode False) fuses best in the FIXED net (measured: all-shift
+# pools cost the bs16 train step +31 ms there, mostly extra backward
+# loop fusions); ``shift`` (mode True) wins in the SUPERNET where every
+# MixedOp runs an unfused small-channel pool + its select_and_scatter
+# backward (measured: bi-level step 1.82 -> 1.64 s). SearchNet opts
+# into shift pools for its whole forward via :func:`shift_pools`.
+# Mode "max" applies shift to max pools only (scatter-free backward)
+# while keeping reduce_window avg pools.
+_SHIFT_IMPL: bool | str = False
 
 
 @contextlib.contextmanager
-def shift_pools(enabled: bool = True):
-    """Use the shifted-slice pooling implementation while tracing."""
+def shift_pools(enabled: bool | str = True):
+    """Use the shifted-slice pooling implementation while tracing.
+
+    ``enabled`` may be True (both pool kinds), "max" (max pools only),
+    or False."""
     global _SHIFT_IMPL
     prev = _SHIFT_IMPL
     _SHIFT_IMPL = enabled
@@ -106,7 +111,7 @@ def max_pool(x: jnp.ndarray, kernel: int, stride: int, padding: int) -> jnp.ndar
 def avg_pool(x: jnp.ndarray, kernel: int, stride: int, padding: int, *,
              count_include_pad: bool = True) -> jnp.ndarray:
     zero = np.asarray(0, x.dtype)[()]
-    if _SHIFT_IMPL:
+    if _SHIFT_IMPL is True:  # "max" mode keeps reduce_window avg pools
         summed = _pool_axis(x, 1, kernel, stride, padding, zero, jnp.add)
         summed = _pool_axis(summed, 2, kernel, stride, padding, zero,
                             jnp.add)

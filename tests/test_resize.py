@@ -105,6 +105,22 @@ def test_shift_avg_pool_matches_torch(count_include_pad):
     np.testing.assert_allclose(ours, ref, atol=1e-6)
 
 
+def test_shift_pools_max_mode():
+    # "max" mode: shift max pools, reduce_window avg pools — outputs
+    # must match the defaults either way.
+    from npp_tpu.ops import pooling
+    rng = np.random.default_rng(10)
+    x = jnp.asarray(rng.standard_normal((1, 10, 10, 3)).astype(np.float32))
+    base_max = np.asarray(max_pool(x, 3, 2, 1))
+    base_avg = np.asarray(avg_pool(x, 3, 2, 1, count_include_pad=False))
+    with pooling.shift_pools("max"):
+        np.testing.assert_array_equal(np.asarray(max_pool(x, 3, 2, 1)),
+                                      base_max)
+        np.testing.assert_allclose(
+            np.asarray(avg_pool(x, 3, 2, 1, count_include_pad=False)),
+            base_avg, atol=1e-6)
+
+
 def test_shift_pool_grads_match_torch():
     # avg grads are linear (must match exactly); max grads match wherever
     # the window max is unique (ties: shift splits evenly, torch assigns
