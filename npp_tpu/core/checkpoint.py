@@ -39,10 +39,13 @@ class CheckpointManager:
 
     def save(self, epoch: int, state: Any, metrics: Optional[dict] = None,
              is_best: bool = False, tag: Optional[str] = None) -> None:
-        """Save epoch checkpoint; optionally mirror to best/warmed/final."""
+        """Save epoch checkpoint; optionally mirror to best/warmed/final.
+
+        The plain epoch save is ASYNC (orbax snapshots to host, then
+        writes in the background while the next epoch trains); named
+        mirrors and `wait()` are synchronous barriers."""
         meta = {"epoch": int(epoch), **(metrics or {})}
         self._mgr.save(epoch, args=ocp.args.StandardSave(state))
-        self._mgr.wait_until_finished()
         with open(os.path.join(self.directory, f"meta_{epoch}.json"),
                   "w") as f:
             json.dump(meta, f)
@@ -50,6 +53,11 @@ class CheckpointManager:
             self._save_named(self._named_dir("best"), state, meta)
         if tag in ("warmed", "final"):
             self._save_named(self._named_dir(tag), state, meta)
+
+    def wait(self) -> None:
+        """Block until in-flight async epoch saves hit disk (call before
+        process exit or reading the epoch checkpoint back)."""
+        self._mgr.wait_until_finished()
 
     def _save_named(self, path: str, state, meta) -> None:
         if os.path.exists(path):
@@ -66,6 +74,7 @@ class CheckpointManager:
     def restore(self, state_template: Any, epoch: Optional[int] = None):
         """Restore (state, meta). ``state_template`` provides the pytree
         structure/shardings (like load_state_dict's target module)."""
+        self._mgr.wait_until_finished()  # async saves may be in flight
         step = epoch if epoch is not None else self._mgr.latest_step()
         if step is None:
             return None, None

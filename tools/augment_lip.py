@@ -255,6 +255,7 @@ def main():
                            "mean_iou": miou, "pck": pck},
                   is_best=is_best,
                   tag="final" if epoch == epochs - 1 else None)
+    ckpt.wait()  # drain async epoch saves before exit
     logger.info(f"done: best mIoU {best_iou:.4f} best PCKh {best_pck:.2f}")
     writer.close()
 

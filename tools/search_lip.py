@@ -202,6 +202,7 @@ def main():
                   is_best=is_best,
                   tag=("warmed" if epoch == warmup - 1 else
                        "final" if epoch == epochs - 1 else None))
+    ckpt.wait()  # drain async epoch saves before exit
     logger.info(f"final best mIoU {best_iou:.4f} best PCKh {best_pck:.2f}")
     logger.info(f"best genotype = {best_genotype}")
     if best_genotype is not None:
