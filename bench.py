@@ -28,8 +28,9 @@ import jax.numpy as jnp
 REFERENCE_GPU_IMG_PER_SEC = 20.0
 
 
-def bench_infer() -> None:
+def bench_infer(quantize: str | None = None) -> None:
     from npp_tpu.models.augment import NPPNet
+    from npp_tpu.ops.quantize import quantized_convs
 
     model = NPPNet(num_classes=20, num_joints=16, layers=16,
                    init_channels=64, refine_layers=1, dtype=jnp.bfloat16)
@@ -46,7 +47,8 @@ def bench_infer() -> None:
     variables = jax.device_put(variables)
 
     def one(v, x):
-        pose_list, par_list = model.apply(v, x, train=False)
+        with quantized_convs(quantize):
+            pose_list, par_list = model.apply(v, x, train=False)
         return (jnp.mean(pose_list[-1][0].astype(jnp.float32))
                 + jnp.mean(par_list[-1][0].astype(jnp.float32)))
 
@@ -75,14 +77,17 @@ def bench_infer() -> None:
     float(chain(variables, lat_image))
     p50_ms = (time.perf_counter() - t0) / n_iters * 1000
 
+    metric = ("lip384_infer_images_per_sec_per_chip" if quantize is None
+              else f"lip384_infer_{quantize}_images_per_sec_per_chip")
     result = {
-        "metric": "lip384_infer_images_per_sec_per_chip",
+        "metric": metric,
         "value": round(img_per_sec, 2),
         "unit": "img/s",
         "vs_baseline": round(img_per_sec / REFERENCE_GPU_IMG_PER_SEC, 2),
         "extra": {"p50_single_image_ms": round(p50_ms, 2),
                   "batch": batch,
-                  "backend": jax.default_backend()},
+                  "backend": jax.default_backend(),
+                  **({"quantize": quantize} if quantize else {})},
     }
     print(json.dumps(result))
 
@@ -177,26 +182,25 @@ def bench_ppp_multiscale(n_images: int = 8) -> None:
         jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
     variables = jax.device_put(variables)
 
-    @jax.jit
-    def _seg_logits(v, tiles):
+    def seg_logits(v, tiles):
         # Params as jit ARGUMENTS, not closure constants (the remote
-        # compile relay rejects >~100MB inlined weights — HTTP 413).
+        # compile relay rejects >~100MB inlined weights — HTTP 413);
+        # multi_scale_inference jits the whole tile pipeline around this.
         _, par_list = model.apply(v, tiles, train=False)
         return resize_bilinear(par_list[-1][0].astype(jnp.float32),
                                (tiles.shape[1], tiles.shape[2]),
                                align_corners=False)
 
-    def seg_logits(tiles):
-        return _seg_logits(variables, tiles)
-
     rng = np.random.default_rng(0)
     image = rng.standard_normal((1, 512, 384, 3)).astype(np.float32)
-    # Warmup: compiles one program per distinct tile-batch shape.
-    multi_scale_inference(seg_logits, image, num_classes=7,
+    # Warmup: compiles the single whole-pipeline program.
+    multi_scale_inference(seg_logits, image, params=variables,
+                          num_classes=7,
                           scales=(0.5, 0.75, 1.0, 1.25, 1.5), flip=True)
     t0 = time.perf_counter()
     for _ in range(n_images):
-        out = multi_scale_inference(seg_logits, image, num_classes=7,
+        out = multi_scale_inference(seg_logits, image, params=variables,
+                                    num_classes=7,
                                     scales=(0.5, 0.75, 1.0, 1.25, 1.5),
                                     flip=True)
     dt = (time.perf_counter() - t0) / n_images
@@ -433,10 +437,13 @@ def bench_search_step(full_scale: bool = True) -> None:
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="infer",
-                   choices=["infer", "eval", "pipeline", "search", "train",
-                            "ppp_ms", "train_e2e", "search_e2e"])
+                   choices=["infer", "infer_int8", "eval", "pipeline",
+                            "search", "train", "ppp_ms", "train_e2e",
+                            "search_e2e"])
     args = p.parse_args()
-    {"infer": bench_infer, "eval": bench_eval, "pipeline": bench_pipeline,
+    {"infer": bench_infer,
+     "infer_int8": lambda: bench_infer(quantize="int8"),
+     "eval": bench_eval, "pipeline": bench_pipeline,
      "search": bench_search_step, "train": bench_train,
      "ppp_ms": bench_ppp_multiscale, "train_e2e": bench_train_e2e,
      "search_e2e": bench_search_e2e}[args.config]()

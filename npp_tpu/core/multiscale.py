@@ -2,11 +2,15 @@
 
 TPU-native re-design of reference ``BaseDataset.multi_scale_inference``
 (dataset/base_dataset.py:182-244): the reference loops tiles one-by-one
-through the model; here all tiles of a scale are gathered into ONE batched
-forward (tiles are identical shapes, so a single compiled program covers
-every scale), then scatter-added with count normalization. Flip-TTA
-averages logits of the horizontally flipped batch (base_dataset.py:161-180;
-the exp() accumulation across scales is preserved).
+through the model; here the ENTIRE pipeline — per-scale resize, tile
+extraction, one batched forward over ALL scales' tiles (flip-TTA tiles
+concatenated into the same batch, the batch padded to a multiple of 8 for
+MXU tile packing), overlap-add with precomputed count masks, and the
+cross-scale exp-logit accumulation (base_dataset.py:161-180, 241-244) —
+is ONE jitted program per image geometry. Round 2 ran the glue eagerly
+(one tunnel dispatch per tile slice/scatter and one shape-specialized
+forward per scale); fusing it into a single program removed ~100 host
+round-trips per image.
 """
 from __future__ import annotations
 
@@ -26,62 +30,112 @@ def _tile_origins(length: int, crop: int, stride: int) -> list[int]:
     return [min(i * stride, length - crop) for i in range(n)]
 
 
-def multi_scale_inference(apply_fn, image: np.ndarray, *, num_classes: int,
-                          crop_size=(384, 384),
-                          scales=(0.5, 0.75, 1.0, 1.25, 1.5),
-                          flip: bool = True,
-                          pad_value: np.ndarray | float = 0.0) -> np.ndarray:
-    """``image``: (1, H, W, 3) normalized. ``apply_fn(images) -> logits``
-    at input resolution (already upsampled). Returns (1, H, W, C) summed
-    exp-logits across scales (base_dataset.py:241-244 semantics)."""
-    _, oh, ow, _ = image.shape
-    ch, cw = crop_size
+@functools.lru_cache(maxsize=32)
+def _build_ms_program(apply_fn, takes_params: bool, oh: int, ow: int,
+                      num_classes: int, ch: int, cw: int, scales: tuple,
+                      flip: bool, pad_value_key):
+    """Compile one program covering every scale of an (oh, ow) image.
+
+    ``apply_fn`` must be hashable (plain functions and jitted callables
+    are); the cache holds a strong reference so ``id`` reuse is safe.
+    """
     stride_h = int(ch * 2.0 / 3.0)
     stride_w = int(cw * 2.0 / 3.0)
-    final = jnp.zeros((1, oh, ow, num_classes), jnp.float32)
-
+    geo = []
+    total = 0
     for scale in scales:
         long_size = int(max(oh, ow) * scale + 0.5)
         if oh > ow:
             nh, nw = long_size, int(ow * long_size / oh + 0.5)
         else:
             nh, nw = int(oh * long_size / ow + 0.5), long_size
-        scaled = resize_bilinear(jnp.asarray(image), (nh, nw),
-                                 align_corners=False)
-        ph, pw = max(ch - nh, 0), max(cw - nw, 0)
-        if ph or pw:
-            scaled = jnp.pad(scaled, ((0, 0), (0, ph), (0, pw), (0, 0)),
-                             constant_values=0.0)
-            if not np.isscalar(pad_value):
-                pv = jnp.asarray(pad_value, jnp.float32)
-                mask = jnp.ones((1, nh, nw, 1), jnp.float32)
-                mask = jnp.pad(mask, ((0, 0), (0, ph), (0, pw), (0, 0)))
-                scaled = scaled * mask + (1 - mask) * pv
-        sh, sw = scaled.shape[1], scaled.shape[2]
-
+        sh, sw = max(nh, ch), max(nw, cw)
         ys = _tile_origins(sh, ch, stride_h)
         xs = _tile_origins(sw, cw, stride_w)
-        tiles = jnp.stack([scaled[0, y:y + ch, x:x + cw, :]
-                           for y in ys for x in xs])
-        logits = _predict_tiles(apply_fn, tiles, flip)
-        preds = jnp.zeros((sh, sw, num_classes), jnp.float32)
-        count = jnp.zeros((sh, sw, 1), jnp.float32)
-        k = 0
+        count = np.zeros((sh, sw, 1), np.float32)
         for y in ys:
             for x in xs:
-                preds = preds.at[y:y + ch, x:x + cw].add(logits[k])
-                count = count.at[y:y + ch, x:x + cw].add(1.0)
-                k += 1
-        preds = (preds / count)[None, :nh, :nw, :]
-        preds = resize_bilinear(preds, (oh, ow), align_corners=False)
-        final = final + preds
-    return np.asarray(final)
+                count[y:y + ch, x:x + cw] += 1.0
+        geo.append((nh, nw, sh, sw, ys, xs, 1.0 / count))
+        total += len(ys) * len(xs)
+
+    n_fwd = 2 * total if flip else total
+    padded = -(-n_fwd // 8) * 8
+    pad_pixel = (None if pad_value_key is None
+                 else jnp.asarray(pad_value_key, jnp.float32))
+
+    def run(params, image):
+        tiles_all = []
+        for nh, nw, sh, sw, ys, xs, _ in geo:
+            scaled = resize_bilinear(image, (nh, nw), align_corners=False)
+            ph, pw = sh - nh, sw - nw
+            if ph or pw:
+                scaled = jnp.pad(scaled,
+                                 ((0, 0), (0, ph), (0, pw), (0, 0)),
+                                 constant_values=0.0)
+                if pad_pixel is not None:
+                    mask = jnp.pad(jnp.ones((1, nh, nw, 1), jnp.float32),
+                                   ((0, 0), (0, ph), (0, pw), (0, 0)))
+                    scaled = scaled * mask + (1 - mask) * pad_pixel
+            tiles_all.extend(scaled[0, y:y + ch, x:x + cw, :]
+                             for y in ys for x in xs)
+        tiles = jnp.stack(tiles_all)
+        if flip:
+            tiles = jnp.concatenate([tiles, tiles[:, :, ::-1, :]])
+        if padded != n_fwd:
+            tiles = jnp.concatenate(
+                [tiles, jnp.zeros((padded - n_fwd,) + tiles.shape[1:],
+                                  tiles.dtype)])
+        logits = (apply_fn(params, tiles) if takes_params
+                  else apply_fn(tiles))
+        logits = logits[:n_fwd].astype(jnp.float32)
+        if flip:
+            logits = 0.5 * (logits[:total]
+                            + logits[total:, :, ::-1, :])
+        # Reference accumulates pred.exp() per window
+        # (base_dataset.py:180).
+        probs = jnp.exp(logits)
+        final = jnp.zeros((1, oh, ow, num_classes), jnp.float32)
+        k = 0
+        for nh, nw, sh, sw, ys, xs, inv_count in geo:
+            preds = jnp.zeros((sh, sw, num_classes), jnp.float32)
+            for y in ys:
+                for x in xs:
+                    preds = preds.at[y:y + ch, x:x + cw].add(probs[k])
+                    k += 1
+            preds = (preds * jnp.asarray(inv_count))[None, :nh, :nw, :]
+            final = final + resize_bilinear(preds, (oh, ow),
+                                            align_corners=False)
+        return final
+
+    return jax.jit(run)
 
 
-def _predict_tiles(apply_fn, tiles: jnp.ndarray, flip: bool) -> jnp.ndarray:
-    logits = apply_fn(tiles)
-    if flip:
-        flipped = apply_fn(tiles[:, :, ::-1, :])
-        logits = 0.5 * (logits + flipped[:, :, ::-1, :])
-    # Reference returns pred.exp() per window (base_dataset.py:180).
-    return jnp.exp(logits.astype(jnp.float32))
+def multi_scale_inference(apply_fn, image: np.ndarray, *, num_classes: int,
+                          params=None, crop_size=(384, 384),
+                          scales=(0.5, 0.75, 1.0, 1.25, 1.5),
+                          flip: bool = True,
+                          pad_value: np.ndarray | float = 0.0) -> np.ndarray:
+    """``image``: (1, H, W, 3) normalized. Returns (1, H, W, C) summed
+    exp-logits across scales (base_dataset.py:241-244 semantics).
+
+    ``apply_fn(tiles) -> logits`` at tile resolution — or, when ``params``
+    is given, ``apply_fn(params, tiles)``. PASS MODEL WEIGHTS VIA
+    ``params``: the whole pipeline is jitted, and weights closed over by
+    ``apply_fn`` would be inlined as program constants (the remote compile
+    relay rejects >~100MB bodies).
+
+    The compiled program is cached per (apply_fn, geometry); scalar
+    ``pad_value`` pads tiles with 0.0 exactly like the reference's
+    zero-padded windows, an array pad_value fills the padding with that
+    pixel.
+    """
+    _, oh, ow, _ = image.shape
+    ch, cw = crop_size
+    pv_key = (None if np.isscalar(pad_value)
+              else tuple(np.asarray(pad_value, np.float32).ravel()
+                         .tolist()))
+    run = _build_ms_program(apply_fn, params is not None, oh, ow,
+                            num_classes, ch, cw, tuple(scales), bool(flip),
+                            pv_key)
+    return np.asarray(run(params, jnp.asarray(image)))

@@ -24,23 +24,31 @@ class Predictor:
     def __init__(self, model, variables, *, crop_size=(384, 384),
                  flip_test: bool = True,
                  flip_pairs=((14, 15), (16, 17), (18, 19)),
-                 blur_sigma: float = 3.0):
+                 blur_sigma: float = 3.0, quantize: str | None = None):
+        """``quantize="int8"`` serves dense convs as int8 MXU ops with
+        dynamic requant (ops/quantize.py) — same fp checkpoint, opt-in
+        accuracy/throughput trade."""
         self.model = model
         self.variables = variables
         self.crop_size = crop_size
         self.flip_test = flip_test
         self.flip_pairs = flip_pairs
         self.blur_sigma = blur_sigma
+        self.quantize = quantize
 
         from npp_tpu.data.lip import IMAGENET_MEAN, IMAGENET_STD
+        from npp_tpu.ops.quantize import quantized_convs
         mean = jnp.asarray(IMAGENET_MEAN)
         std = jnp.asarray(IMAGENET_STD)
 
         def fwd(variables, image_u8):
             # uint8 upload (4x fewer host->device bytes per request);
-            # ImageNet normalization runs fused on device.
+            # ImageNet normalization runs fused on device. The quantize
+            # context is trace-time only (jit caches the traced graph).
             image = (image_u8.astype(jnp.float32) / 255.0 - mean) / std
-            pose_list, par_list = model.apply(variables, image, train=False)
+            with quantized_convs(quantize):
+                pose_list, par_list = model.apply(variables, image,
+                                                  train=False)
             return (pose_list[-1][0].astype(jnp.float32),
                     par_list[-1][0].astype(jnp.float32))
 
@@ -74,9 +82,38 @@ class Predictor:
         """Returns {'parsing': (H, W) labels in original size,
         'keypoints': (J, 3) x,y,score in original coords,
         'parsing_crop': labels at crop size}."""
+        return self.predict_batch([im_rgb])[0]
+
+    def predict_batch(self, images, *, pad_to_multiple: int = 8) -> list:
+        """Batched inference; returns one ``__call__``-style dict per image.
+
+        The device batch is padded up to the next multiple of
+        ``pad_to_multiple`` (a single image runs unpadded): on the v5e,
+        batch dims that do not fill the 8-row register tile collapse ~3x
+        (BENCH.md batch-size profile — bs12 runs at 165 img/s vs bs16's
+        371, while padded bs4->8 matches the bs8 rate), and quantizing the
+        shape set to {1, 8, 16, ...} bounds XLA recompiles to one program
+        per tier. Pad rows replicate the last image and are discarded."""
+        if not images:
+            return []
         cw, ch = self.crop_size
-        img, crop_param, scale = self.preprocess(im_rgb)
-        batch = jnp.asarray(img)[None]
+        pre = [self.preprocess(im) for im in images]
+        canvases = np.stack([p[0] for p in pre])
+        crop_params = np.stack([p[1] for p in pre])        # (B, 1, 8)
+        scales = np.asarray([p[2] for p in pre], np.float32)
+        n = len(images)
+        padded = (n if n == 1
+                  else -(-n // pad_to_multiple) * pad_to_multiple)
+        if padded != n:
+            reps = padded - n
+            canvases = np.concatenate(
+                [canvases, np.repeat(canvases[-1:], reps, axis=0)])
+            crop_params = np.concatenate(
+                [crop_params, np.repeat(crop_params[-1:], reps, axis=0)])
+            scales = np.concatenate(
+                [scales, np.repeat(scales[-1:], reps)])
+
+        batch = jnp.asarray(canvases)
         pose_hm, par_logits = self._fwd(self.variables, batch)
         if self.flip_test:
             fp_hm, fp_par = self._fwd(self.variables, batch[:, :, ::-1, :])
@@ -87,19 +124,23 @@ class Predictor:
         if self.flip_test:
             fpar = resize_bilinear(fp_par, (ch, cw), align_corners=False)
             par = flip_parsing_fuse(par, fpar, self.flip_pairs)
-        par_crop = np.asarray(jnp.argmax(par, axis=-1)[0], np.uint8)
+        par_crops = np.asarray(jnp.argmax(par, axis=-1), np.uint8)
 
         n_j = pose_hm.shape[-1]
         from npp_tpu.core.inference import (FLIPPED_POSEIDX,
                                             FLIPPED_POSEIDX_PPP)
         fidx = (FLIPPED_POSEIDX if n_j == 16 else FLIPPED_POSEIDX_PPP
                 if n_j == 14 else tuple(range(n_j)))
-        kp = decode_pose_validate(pose_hm, fp_hm,
-                                  jnp.asarray(crop_param)[None],
-                                  jnp.asarray([scale]), (ch, cw),
-                                  self.blur_sigma, fidx)
-        keypoints = np.asarray(kp[0])
+        kp = np.asarray(decode_pose_validate(
+            pose_hm, fp_hm, jnp.asarray(crop_params),
+            jnp.asarray(scales), (ch, cw), self.blur_sigma, fidx))
 
+        return [self._postprocess(images[i], par_crops[i],
+                                  crop_params[i], scales[i], kp[i])
+                for i in range(n)]
+
+    def _postprocess(self, im_rgb, par_crop, crop_param, scale,
+                     keypoints) -> dict:
         # Map the crop parsing back to original-size labels: undo the
         # center crop then resize with nearest interpolation.
         oh, ow = im_rgb.shape[:2]

@@ -17,12 +17,13 @@ from npp_tpu.utils import metrics as M
 from npp_tpu.utils.vis import save_parsing_png
 
 
-def make_parsing_apply_fn(model, variables):
-    """Batched tiles -> last-stage parsing logits at tile resolution."""
-    import jax
+def make_parsing_apply_fn(model):
+    """(variables, tiles) -> last-stage parsing logits at tile resolution.
 
-    @jax.jit
-    def apply_fn(tiles):
+    Weights are an ARGUMENT (pass them to testval/test as ``params``):
+    multi_scale_inference jits the whole pipeline, and weights closed
+    over here would be inlined as program constants."""
+    def apply_fn(variables, tiles):
         from npp_tpu.ops.resize import resize_bilinear
 
         _, par_list = model.apply(variables, tiles, train=False)
@@ -33,7 +34,7 @@ def make_parsing_apply_fn(model, variables):
     return apply_fn
 
 
-def testval(apply_fn, loader, *, num_classes: int,
+def testval(apply_fn, params, loader, *, num_classes: int,
             scales=(0.5, 0.75, 1.0, 1.25, 1.5), flip: bool = True,
             crop_size=(384, 384), ignore: int = 255) -> dict:
     """Multi-scale seg eval over a loader of single-image batches
@@ -43,7 +44,7 @@ def testval(apply_fn, loader, *, num_classes: int,
         image = np.asarray(batch["image"])
         label = np.asarray(batch["par"])
         assert image.shape[0] == 1, "multi-scale eval uses batch size 1"
-        pred = multi_scale_inference(apply_fn, image,
+        pred = multi_scale_inference(apply_fn, image, params=params,
                                      num_classes=num_classes,
                                      crop_size=crop_size, scales=scales,
                                      flip=flip)
@@ -54,7 +55,7 @@ def testval(apply_fn, loader, *, num_classes: int,
     return M.seg_metrics(cm)
 
 
-def test(apply_fn, loader, out_dir: str, *, num_classes: int,
+def test(apply_fn, params, loader, out_dir: str, *, num_classes: int,
          scales=(1.0,), flip: bool = False,
          crop_size=(384, 384)) -> list[str]:
     """Inference-only export of palette PNGs (function.py:1399-1461)."""
@@ -63,7 +64,7 @@ def test(apply_fn, loader, out_dir: str, *, num_classes: int,
     for batch in loader:
         image = np.asarray(batch["image"])
         names = batch["names"]
-        pred = multi_scale_inference(apply_fn, image,
+        pred = multi_scale_inference(apply_fn, image, params=params,
                                      num_classes=num_classes,
                                      crop_size=crop_size, scales=scales,
                                      flip=flip)

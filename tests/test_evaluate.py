@@ -73,3 +73,29 @@ def test_predictor_single_image(tiny_model_bundle):
     assert out["keypoints"].shape == (14, 3)
     assert np.isfinite(out["keypoints"]).all()
     assert out["parsing"].max() < 7
+
+
+def test_predictor_batch_padding_is_invisible(tiny_model_bundle):
+    """predict_batch pads the device batch to a multiple of 8 (MXU tile
+    packing, BENCH.md batch-size profile); results for the real rows must
+    be bit-identical to an unpadded batch of the same shape (eval-mode BN
+    has no cross-sample coupling)."""
+    from npp_tpu.core.predictor import Predictor
+
+    model, variables, _ = tiny_model_bundle
+    pred = Predictor(model, variables, crop_size=(64, 64),
+                     flip_pairs=((1, 2),))
+    rng = np.random.default_rng(7)
+    ims = [rng.integers(0, 255, (h, w, 3)).astype(np.uint8)
+           for h, w in ((100, 80), (64, 64), (50, 90))]
+    # 3 images -> padded to 8 internally.
+    outs = pred.predict_batch(ims)
+    assert len(outs) == 3
+    # The same images in an exactly-8 batch (no padding needed): the
+    # first three rows run through the identical program.
+    full = pred.predict_batch(ims + [ims[0], ims[1], ims[2], ims[0],
+                                     ims[1]])
+    for a, b, im in zip(outs, full[:3], ims):
+        assert a["parsing"].shape == im.shape[:2]
+        np.testing.assert_array_equal(a["parsing"], b["parsing"])
+        np.testing.assert_array_equal(a["keypoints"], b["keypoints"])

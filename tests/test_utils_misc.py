@@ -122,3 +122,32 @@ def test_multiscale_inference_identity_model():
                                  flip=True)
     assert pred.shape == (1, 96, 128, c)
     assert (np.argmax(pred, -1) == 2).all()
+
+
+def test_multiscale_inference_params_form():
+    """The params form (weights as jit ARGUMENTS — required so the
+    whole-pipeline jit doesn't inline them as constants) must compute
+    the same aggregation as a closure over the same values, and content
+    must flow through tiles (not just shapes): a conv-like dependence on
+    the input shows up at the right spatial location."""
+    from npp_tpu.core.multiscale import multi_scale_inference
+
+    c = 3
+    rng = np.random.default_rng(3)
+    img = rng.standard_normal((1, 80, 112, 3)).astype(np.float32)
+    w = jnp.asarray(rng.standard_normal((3, c)).astype(np.float32))
+
+    def apply_with_params(params, tiles):
+        return jnp.einsum("bhwi,ic->bhwc", tiles, params)
+
+    def apply_closure(tiles):
+        return jnp.einsum("bhwi,ic->bhwc", tiles, w)
+
+    a = multi_scale_inference(apply_with_params, img, params=w,
+                              num_classes=c, crop_size=(64, 64),
+                              scales=(0.75, 1.0), flip=True)
+    b = multi_scale_inference(apply_closure, img, num_classes=c,
+                              crop_size=(64, 64), scales=(0.75, 1.0),
+                              flip=True)
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+    assert np.isfinite(a).all() and a.shape == (1, 80, 112, c)

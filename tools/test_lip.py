@@ -79,10 +79,10 @@ def main():
     loader = DataLoader(ds, 1, shuffle=False, num_workers=4,
                         drop_last=False)
 
-    apply_fn = test_seg.make_parsing_apply_fn(model, variables)
+    apply_fn = test_seg.make_parsing_apply_fn(model)
     scales = cfg.test.scale_list if not args.tiny else (0.5, 1.0)
     if args.mode == "testval":
-        metrics = test_seg.testval(apply_fn, loader,
+        metrics = test_seg.testval(apply_fn, variables, loader,
                                    num_classes=cfg.dataset.num_classes,
                                    scales=scales,
                                    flip=cfg.test.flip_test,
@@ -92,7 +92,7 @@ def main():
               f"mean_acc {metrics['mean_acc']:.4f} "
               f"mIoU {metrics['mean_iou']:.4f} fwIoU {metrics['fw_iou']:.4f}")
     else:
-        paths = test_seg.test(apply_fn, loader, args.out,
+        paths = test_seg.test(apply_fn, variables, loader, args.out,
                               num_classes=cfg.dataset.num_classes,
                               scales=(1.0,), flip=cfg.test.flip_test,
                               crop_size=(size[1], size[0]))
