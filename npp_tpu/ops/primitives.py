@@ -15,7 +15,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from npp_tpu.ops import pooling
+from npp_tpu.ops import pooling, quantize
 from npp_tpu.ops.resize import resize_scale
 
 BN_MOMENTUM = 0.1  # torch momentum; flax momentum = 1 - torch momentum
@@ -83,7 +83,13 @@ class BatchNorm(nn.Module):
 
 
 class Conv(nn.Module):
-    """Conv2d equivalent with explicit torch-style padding."""
+    """Conv2d equivalent with explicit torch-style padding.
+
+    Under ``quantize.quantized_convs("int8")`` (trace-time opt-in,
+    serving only) dense convs (groups == 1) run as int8 x int8 -> int32
+    MXU ops with dynamic requant; the param tree ('Conv_0'/{kernel,bias})
+    is IDENTICAL either way, so fp checkpoints serve quantized
+    unchanged. Depthwise/grouped convs always stay floating point."""
 
     features: int
     kernel: tuple[int, int]
@@ -97,6 +103,12 @@ class Conv(nn.Module):
     @nn.compact
     def __call__(self, x):
         ph, pw = self.padding
+        if quantize.conv_quant_mode() == "int8" and self.groups == 1:
+            return _Int8Conv(
+                features=self.features, kernel=self.kernel,
+                stride=self.stride, padding=self.padding,
+                dilation=self.dilation, use_bias=self.use_bias,
+                dtype=self.dtype, name="Conv_0")(x)
         return nn.Conv(
             features=self.features,
             kernel_size=self.kernel,
@@ -108,6 +120,33 @@ class Conv(nn.Module):
             dtype=self.dtype,
             kernel_init=nn.initializers.xavier_normal(),
         )(x)
+
+
+class _Int8Conv(nn.Module):
+    """Dense conv in int8 (see Conv docstring). Param names/shapes/init
+    mirror ``nn.Conv`` exactly ('kernel' HWIO fp32, 'bias')."""
+
+    features: int
+    kernel: tuple[int, int]
+    stride: tuple[int, int]
+    padding: tuple[int, int]
+    dilation: tuple[int, int]
+    use_bias: bool
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel
+        kernel = self.param("kernel", nn.initializers.xavier_normal(),
+                            (kh, kw, x.shape[-1], self.features),
+                            jnp.float32)
+        bias = (self.param("bias", nn.initializers.zeros,
+                           (self.features,), jnp.float32)
+                if self.use_bias else None)
+        return quantize.int8_conv(x, kernel, bias, stride=self.stride,
+                                  padding=self.padding,
+                                  dilation=self.dilation,
+                                  out_dtype=self.dtype or x.dtype)
 
 
 class Zero(nn.Module):

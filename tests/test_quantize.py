@@ -1,0 +1,118 @@
+"""int8 dense-conv serving mode (ops/quantize.py).
+
+No reference analog (the reference serves fp32); these tests pin the
+quantization contract: bounded error vs the fp conv, an UNCHANGED param
+tree (fp checkpoints serve quantized), and a sane full-model forward.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from npp_tpu.ops import quantize
+from npp_tpu.ops.primitives import Conv, ReLUConvBN
+
+
+def _fp_conv(x, kernel, bias, stride, padding, dilation):
+    ph, pw = padding
+    out = jax.lax.conv_general_dilated(
+        x, kernel, window_strides=stride, padding=((ph, ph), (pw, pw)),
+        rhs_dilation=dilation, dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return out + bias if bias is not None else out
+
+
+@pytest.mark.parametrize("stride,padding,dilation", [
+    ((1, 1), (1, 1), (1, 1)),
+    ((2, 2), (1, 1), (1, 1)),
+    ((1, 1), (2, 2), (2, 2)),
+])
+def test_int8_conv_error_bounded(stride, padding, dilation):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 32)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 32, 24)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((24,)) * 0.01, jnp.float32)
+    ref = _fp_conv(x, w, b, stride, padding, dilation)
+    q = quantize.int8_conv(x, w, b, stride=stride, padding=padding,
+                           dilation=dilation, out_dtype=jnp.float32)
+    assert q.shape == ref.shape
+    # Per-element error is a sum of ~cin*k*k independent rounding errors
+    # of magnitude <= (a_scale*|w| + w_scale*|x|)/2; empirically well
+    # under 2% of the output range for gaussian data.
+    scale = float(jnp.max(jnp.abs(ref)))
+    err = float(jnp.max(jnp.abs(q - ref)))
+    assert err < 0.02 * scale, (err, scale)
+
+
+def test_int8_conv_zero_input_safe():
+    x = jnp.zeros((1, 8, 8, 4), jnp.float32)
+    w = jnp.zeros((3, 3, 4, 4), jnp.float32)
+    q = quantize.int8_conv(x, w, None, stride=(1, 1), padding=(1, 1),
+                           dilation=(1, 1), out_dtype=jnp.float32)
+    assert np.isfinite(np.asarray(q)).all()
+    np.testing.assert_array_equal(np.asarray(q), 0.0)
+
+
+def test_param_tree_identical_under_quantization():
+    """Initializing under the int8 context must build the SAME variables
+    tree as fp (path 'Conv_0'/kernel, shapes equal) — that is what lets
+    fp checkpoints serve quantized."""
+    x = jnp.zeros((1, 8, 8, 8), jnp.float32)
+    mod = ReLUConvBN(16, 3, 1, 1, True, None)
+    v_fp = mod.init(jax.random.PRNGKey(0), x, train=False)
+    with quantize.quantized_convs("int8"):
+        v_q = mod.init(jax.random.PRNGKey(0), x, train=False)
+    assert (jax.tree_util.tree_structure(v_fp)
+            == jax.tree_util.tree_structure(v_q))
+    for a, b in zip(jax.tree.leaves(v_fp), jax.tree.leaves(v_q)):
+        assert a.shape == b.shape and a.dtype == b.dtype
+
+
+def test_depthwise_conv_stays_fp():
+    """groups != 1 must take the fp path (depthwise is VPU-bound; int8
+    would only add requant traffic) — outputs bit-identical in and out
+    of the context."""
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((1, 8, 8, 8)),
+                    jnp.float32)
+    mod = Conv(8, (3, 3), (1, 1), (1, 1), groups=8, use_bias=False)
+    v = mod.init(jax.random.PRNGKey(0), x)
+    ref = mod.apply(v, x)
+    with quantize.quantized_convs("int8"):
+        q = mod.apply(v, x)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(q))
+
+
+def test_full_model_int8_forward_close(tiny_model_bundle):
+    """Quantized full-model forward: same fp variables, outputs finite
+    and close to the fp forward (the stacked-quant-noise envelope on the
+    tiny untrained net)."""
+    model, variables, x = tiny_model_bundle
+    xr = jnp.asarray(
+        np.random.default_rng(2).standard_normal(x.shape), jnp.float32)
+    pose_fp, par_fp = model.apply(variables, xr, train=False)
+    with quantize.quantized_convs("int8"):
+        pose_q, par_q = model.apply(variables, xr, train=False)
+    a = np.asarray(par_fp[-1][0], np.float32).ravel()
+    b = np.asarray(par_q[-1][0], np.float32).ravel()
+    assert np.isfinite(b).all()
+    # Relative L2 and correlation: loose envelope for ~50 stacked
+    # quantized convs on an untrained net.
+    rel = np.linalg.norm(a - b) / max(np.linalg.norm(a), 1e-9)
+    corr = np.corrcoef(a, b)[0, 1]
+    assert rel < 0.25, rel
+    assert corr > 0.97, corr
+    hp = np.asarray(pose_q[-1][0], np.float32)
+    assert np.isfinite(hp).all()
+
+
+def test_quantized_convs_context_restores():
+    assert quantize.conv_quant_mode() is None
+    with quantize.quantized_convs("int8"):
+        assert quantize.conv_quant_mode() == "int8"
+        with quantize.quantized_convs(None):
+            assert quantize.conv_quant_mode() is None
+        assert quantize.conv_quant_mode() == "int8"
+    assert quantize.conv_quant_mode() is None
+    with pytest.raises(ValueError):
+        with quantize.quantized_convs("int4"):
+            pass
