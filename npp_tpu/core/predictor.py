@@ -96,8 +96,11 @@ class Predictor:
         per tier. Pad rows replicate the last image and are discarded."""
         if not images:
             return []
-        cw, ch = self.crop_size
         pre = [self.preprocess(im) for im in images]
+        return self._predict_preprocessed(pre, images, pad_to_multiple)
+
+    def _predict_preprocessed(self, pre, images, pad_to_multiple):
+        cw, ch = self.crop_size
         canvases = np.stack([p[0] for p in pre])
         crop_params = np.stack([p[1] for p in pre])        # (B, 1, 8)
         scales = np.asarray([p[2] for p in pre], np.float32)
@@ -138,6 +141,41 @@ class Predictor:
         return [self._postprocess(images[i], par_crops[i],
                                   crop_params[i], scales[i], kp[i])
                 for i in range(n)]
+
+    def predict_stream(self, images, *, batch_size: int = 8,
+                       prefetch: int = 2):
+        """Generator over ``__call__``-style dicts for an iterable of
+        images. A worker thread runs the host-side cv2 preprocessing one
+        batch ahead so it overlaps device compute (the serving analog of
+        the training loader's prefetch). Results stream in input order;
+        the tail batch follows predict_batch's padding rules."""
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=max(prefetch, 1))
+        _END = object()
+
+        def feed():
+            chunk, pres = [], []
+            for im in images:
+                chunk.append(im)
+                pres.append(self.preprocess(im))
+                if len(chunk) == batch_size:
+                    q.put((pres, chunk))
+                    chunk, pres = [], []
+            if chunk:
+                q.put((pres, chunk))
+            q.put(_END)
+
+        t = threading.Thread(target=feed, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            pres, chunk = item
+            yield from self._predict_preprocessed(pres, chunk, 8)
+        t.join()
 
     def _postprocess(self, im_rgb, par_crop, crop_param, scale,
                      keypoints) -> dict:

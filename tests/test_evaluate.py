@@ -99,3 +99,24 @@ def test_predictor_batch_padding_is_invisible(tiny_model_bundle):
         assert a["parsing"].shape == im.shape[:2]
         np.testing.assert_array_equal(a["parsing"], b["parsing"])
         np.testing.assert_array_equal(a["keypoints"], b["keypoints"])
+
+
+def test_predictor_stream_matches_batch(tiny_model_bundle):
+    """predict_stream (prefetch-threaded serving loop) must yield the
+    same results in the same order as predict_batch."""
+    from npp_tpu.core.predictor import Predictor
+
+    model, variables, _ = tiny_model_bundle
+    pred = Predictor(model, variables, crop_size=(64, 64),
+                     flip_pairs=((1, 2),))
+    rng = np.random.default_rng(11)
+    # 6 images / batch_size 2: every chunk (and the direct call) pads to
+    # the same bs-8 program, so results must be bit-identical.
+    ims = [rng.integers(0, 255, (60 + 4 * i, 70, 3)).astype(np.uint8)
+           for i in range(6)]
+    streamed = list(pred.predict_stream(iter(ims), batch_size=2))
+    direct = pred.predict_batch(ims)
+    assert len(streamed) == 6
+    for s, d in zip(streamed, direct):
+        np.testing.assert_array_equal(s["parsing"], d["parsing"])
+        np.testing.assert_array_equal(s["keypoints"], d["keypoints"])
