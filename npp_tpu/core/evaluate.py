@@ -33,22 +33,28 @@ def make_eval_step_body(model, *, num_classes: int, class_weights,
                         flip_pairs=((14, 15), (16, 17), (18, 19)),
                         pose_flip_idx=None,
                         decode_hw: tuple[int, int] = (384, 384),
-                        blur_sigma: float = 3.0):
+                        blur_sigma: float = 3.0,
+                        quantize: str | None = None):
     """The pure (unjitted) eval-step function — composable into a scanned
     whole-epoch program (make_eval_epoch) or jitted per batch
     (make_eval_step).
 
+    ``quantize="int8"`` serves the forwards with int8 dense convs
+    (ops/quantize.py); losses/decode/metrics stay fp32.
+
     fn(params, batch_stats, batch) ->
       {loss, loss_pose, loss_par, cm, pose_pred (B,J,3), par_pred (B,H,W)}.
     """
+    from npp_tpu.ops.quantize import quantized_convs
 
     def step(params, batch_stats, batch):
         variables = {"params": params["model"], "batch_stats": batch_stats}
         image = batch["image"]
-        pose_list, par_list = model.apply(variables, image, train=False)
-        if flip_test:
-            flip_pose, flip_par = model.apply(variables, image[:, :, ::-1, :],
-                                              train=False)
+        with quantized_convs(quantize):
+            pose_list, par_list = model.apply(variables, image, train=False)
+            if flip_test:
+                flip_pose, flip_par = model.apply(
+                    variables, image[:, :, ::-1, :], train=False)
         losses_pose = crit.pose_loss(pose_list, batch["pose"],
                                      batch.get("pose_aux"),
                                      params["criterion"]["lamda_pose"])

@@ -178,10 +178,17 @@ def eval_pair(tmp_path_factory):
     ours = E.validate(step, params, converted["batch_stats"], our_batches,
                       num_classes=NCLS, gt_csv=gt_csv,
                       pred_csv=our_pred_csv, log_fn=lambda s: None)
+    step_q = E.make_eval_step(model, num_classes=NCLS,
+                              class_weights=LIP_CLASS_WEIGHTS,
+                              decode_hw=(H, H), quantize="int8")
+    ours_q = E.validate(step_q, params, converted["batch_stats"],
+                        our_batches, num_classes=NCLS, gt_csv=gt_csv,
+                        pred_csv=str(tmp / "ours_pred_int8.csv"),
+                        log_fn=lambda s: None)
     return NS(ref_loss=ref_loss, ref_miou=ref_miou,
               ref_iou_array=np.asarray(ref_iou_array), ref_pck=ref_pck,
               ref_pred_csv=ref_pred_csv, our_pred_csv=our_pred_csv,
-              ours=ours, n_images=len(names))
+              ours=ours, ours_q=ours_q, n_images=len(names))
 
 
 def test_composed_loss(eval_pair):
@@ -244,3 +251,18 @@ def test_composed_pckh(eval_pair):
     assert "pck_avg" in p.ours
     assert abs(p.ours["pck_avg"] - p.ref_pck) < 5.0, (
         p.ours["pck_avg"], p.ref_pck)
+
+
+def test_composed_int8_eval_envelope(eval_pair):
+    """The int8 serving mode run through the SAME composed eval on the
+    converted weights lands inside a quantization-noise envelope of the
+    fp32 run. Untrained logits are globally near-tied (worst case for
+    argmax-derived metrics), so bounds are loose: the continuous loss
+    must track closely, summary metrics must not be garbage."""
+    p = eval_pair
+    rel = abs(p.ours_q["loss"] - p.ours["loss"]) / abs(p.ours["loss"])
+    assert rel < 5e-2, (p.ours_q["loss"], p.ours["loss"])
+    assert abs(p.ours_q["mean_iou"] - p.ours["mean_iou"]) < 0.05, (
+        p.ours_q["mean_iou"], p.ours["mean_iou"])
+    assert abs(p.ours_q["pck_avg"] - p.ours["pck_avg"]) < 15.0, (
+        p.ours_q["pck_avg"], p.ours["pck_avg"])
