@@ -138,6 +138,43 @@ def bench_eval(n_images: int = 128) -> None:
     }))
 
 
+def bench_predict(n_images: int = 64, batch: int = 8,
+                  quantize: str | None = None) -> None:
+    """Serving-surface bench: Predictor.predict_stream end-to-end — host
+    cv2 preprocess (prefetch-threaded) + uint8 upload + flip-TTA forwards
+    + on-device decode + crop inverse mapping, raw RGB in / labels +
+    keypoints out. Wall-clock includes the dev tunnel's per-dispatch RTT
+    (several dispatches per batch), which production serving doesn't pay."""
+    from npp_tpu.core.predictor import Predictor
+    from npp_tpu.models.augment import NPPNet
+
+    model = NPPNet(num_classes=20, num_joints=16, layers=16,
+                   init_channels=64, refine_layers=1, dtype=jnp.bfloat16)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
+    variables = jax.device_put(variables)
+    pred = Predictor(model, variables, quantize=quantize)
+
+    rng = np.random.default_rng(0)
+    ims = [rng.integers(0, 255, (480 + 16 * (i % 4), 360, 3)).astype(
+        np.uint8) for i in range(n_images)]
+    list(pred.predict_stream(iter(ims[:batch]), batch_size=batch))  # warm
+    t0 = time.perf_counter()
+    outs = list(pred.predict_stream(iter(ims), batch_size=batch))
+    dt = time.perf_counter() - t0
+    assert len(outs) == n_images
+    print(json.dumps({
+        "metric": ("lip384_predict_images_per_sec" if quantize is None
+                   else f"lip384_predict_{quantize}_images_per_sec"),
+        "value": round(n_images / dt, 2), "unit": "img/s",
+        "vs_baseline": None,
+        "extra": {"batch": batch, "n_images": n_images,
+                  **({"quantize": quantize} if quantize else {}),
+                  "note": "raw-RGB-to-results; includes host pre/post + "
+                  "tunnel RTTs per dispatch"},
+    }))
+
+
 def bench_pipeline(batch: int = 32, n_batches: int = 8) -> None:
     """BASELINE.json config 4: train input pipeline (aug + target gen)."""
     from npp_tpu.data import (DataLoader, SyntheticDataset,
@@ -439,14 +476,15 @@ def main() -> None:
     p.add_argument("--config", default="infer",
                    choices=["infer", "infer_int8", "eval", "pipeline",
                             "search", "train", "ppp_ms", "train_e2e",
-                            "search_e2e"])
+                            "search_e2e", "predict", "predict_int8"])
     args = p.parse_args()
     {"infer": bench_infer,
      "infer_int8": lambda: bench_infer(quantize="int8"),
      "eval": bench_eval, "pipeline": bench_pipeline,
      "search": bench_search_step, "train": bench_train,
      "ppp_ms": bench_ppp_multiscale, "train_e2e": bench_train_e2e,
-     "search_e2e": bench_search_e2e}[args.config]()
+     "search_e2e": bench_search_e2e, "predict": bench_predict,
+     "predict_int8": lambda: bench_predict(quantize="int8")}[args.config]()
 
 
 if __name__ == "__main__":
