@@ -28,12 +28,14 @@ import jax.numpy as jnp
 REFERENCE_GPU_IMG_PER_SEC = 20.0
 
 
-def bench_infer(quantize: str | None = None) -> None:
-    from npp_tpu.models.augment import NPPNet
+def bench_infer(quantize: str | None = None, fused_necks: bool = False,
+                merged_streams: bool = False) -> None:
+    from npp_tpu.models.augment import NPPNet, fuse_neck_variables
     from npp_tpu.ops.quantize import quantized_convs
 
     model = NPPNet(num_classes=20, num_joints=16, layers=16,
-                   init_channels=64, refine_layers=1, dtype=jnp.bfloat16)
+                   init_channels=64, refine_layers=1,
+                   merged_streams=merged_streams, dtype=jnp.bfloat16)
 
     batch = 8
     images = [
@@ -44,6 +46,11 @@ def bench_infer(quantize: str | None = None) -> None:
 
     variables = jax.jit(model.init, static_argnames=("train",))(
         jax.random.PRNGKey(0), images[0][:1], train=False)
+    if fused_necks:
+        # Serve the same (unfused) checkpoint through the fused-neck
+        # layout, as Predictor(fuse_necks=True) would.
+        model = model.clone(fused_necks=True)
+        variables = fuse_neck_variables(variables)
     variables = jax.device_put(variables)
 
     def one(v, x):
@@ -77,8 +84,10 @@ def bench_infer(quantize: str | None = None) -> None:
     float(chain(variables, lat_image))
     p50_ms = (time.perf_counter() - t0) / n_iters * 1000
 
-    metric = ("lip384_infer_images_per_sec_per_chip" if quantize is None
-              else f"lip384_infer_{quantize}_images_per_sec_per_chip")
+    tag = ("" if quantize is None else f"_{quantize}") + (
+        "_fusednecks" if fused_necks else "") + (
+        "_merged" if merged_streams else "")
+    metric = f"lip384_infer{tag}_images_per_sec_per_chip"
     result = {
         "metric": metric,
         "value": round(img_per_sec, 2),
@@ -474,12 +483,15 @@ def bench_search_step(full_scale: bool = True) -> None:
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="infer",
-                   choices=["infer", "infer_int8", "eval", "pipeline",
-                            "search", "train", "ppp_ms", "train_e2e",
-                            "search_e2e", "predict", "predict_int8"])
+                   choices=["infer", "infer_int8", "infer_fused",
+                            "infer_merged", "eval", "pipeline", "search",
+                            "train", "ppp_ms", "train_e2e", "search_e2e",
+                            "predict", "predict_int8"])
     args = p.parse_args()
     {"infer": bench_infer,
      "infer_int8": lambda: bench_infer(quantize="int8"),
+     "infer_fused": lambda: bench_infer(fused_necks=True),
+     "infer_merged": lambda: bench_infer(merged_streams=True),
      "eval": bench_eval, "pipeline": bench_pipeline,
      "search": bench_search_step, "train": bench_train,
      "ppp_ms": bench_ppp_multiscale, "train_e2e": bench_train_e2e,

@@ -24,10 +24,34 @@ class Predictor:
     def __init__(self, model, variables, *, crop_size=(384, 384),
                  flip_test: bool = True,
                  flip_pairs=((14, 15), (16, 17), (18, 19)),
-                 blur_sigma: float = 3.0, quantize: str | None = None):
+                 blur_sigma: float = 3.0, quantize: str | None = None,
+                 fuse_necks: bool = False, mesh=None):
         """``quantize="int8"`` serves dense convs as int8 MXU ops with
         dynamic requant (ops/quantize.py) — same fp checkpoint, opt-in
-        accuracy/throughput trade."""
+        accuracy/throughput trade. ``fuse_necks=True`` rewrites the model
+        to the fused-neck layout (one conv+BN per stream instead of two;
+        exact — see models/augment.fuse_neck_variables) and transforms
+        ``variables`` to match; pass an unfused model/checkpoint.
+
+        ``mesh``: a ``jax.sharding.Mesh`` with a ``"data"`` axis enables
+        data-parallel multi-chip serving — weights replicated, request
+        batches sharded over the axis, one SPMD program (no cross-chip
+        activation traffic at serving shapes; SCALING.md §Serving). The
+        device batch is padded to a multiple of lcm(8, n_data)."""
+        if fuse_necks and not getattr(model, "fused_necks", False):
+            from npp_tpu.models.augment import fuse_neck_variables
+            model = model.clone(fused_necks=True)
+            variables = fuse_neck_variables(variables)
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            self._n_data = int(mesh.shape["data"])
+            self._batch_sharding = NamedSharding(mesh,
+                                                 PartitionSpec("data"))
+            variables = jax.device_put(
+                variables, NamedSharding(mesh, PartitionSpec()))
+        else:
+            self._n_data = 1
         self.model = model
         self.variables = variables
         self.crop_size = crop_size
@@ -105,7 +129,10 @@ class Predictor:
         crop_params = np.stack([p[1] for p in pre])        # (B, 1, 8)
         scales = np.asarray([p[2] for p in pre], np.float32)
         n = len(images)
-        padded = (n if n == 1
+        if self._n_data > 1:
+            import math
+            pad_to_multiple = math.lcm(pad_to_multiple, self._n_data)
+        padded = (n if n == 1 and self._n_data == 1
                   else -(-n // pad_to_multiple) * pad_to_multiple)
         if padded != n:
             reps = padded - n
@@ -117,6 +144,8 @@ class Predictor:
                 [scales, np.repeat(scales[-1:], reps)])
 
         batch = jnp.asarray(canvases)
+        if self.mesh is not None:
+            batch = jax.device_put(batch, self._batch_sharding)
         pose_hm, par_logits = self._fwd(self.variables, batch)
         if self.flip_test:
             fp_hm, fp_par = self._fwd(self.variables, batch[:, :, ::-1, :])

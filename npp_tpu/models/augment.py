@@ -109,6 +109,7 @@ class NPPNet(nn.Module):
     fusion: gt.GenotypeFuse = gt.FUSION
     multiplier: int = 4
     merged_streams: bool = False
+    fused_necks: bool = False
     dtype: Any = jnp.bfloat16
 
     def setup(self):
@@ -194,10 +195,20 @@ class NPPNet(nn.Module):
         ]
 
         # Necks (model_augment.py:332-351); nc[3] == 2C.
-        self.pose_layer = _Neck(4 * nc[3], d)
-        self.pose_auxlayer = _Neck(3 * nc[3], d)
-        self.par_layer = _Neck(4 * nc[3], d)
-        self.edge_layer = _Neck(3 * nc[3], d)
+        # ``fused_necks`` channel-concatenates each stream's two neck convs
+        # into ONE conv+BN (aux/edge channels first, then main): exact in
+        # both modes — conv output channels are independent and BN moments
+        # are per-channel — while reading the wide multi-scale concat
+        # (16C channels) from HBM once instead of twice. Param layouts
+        # interconvert exactly via ``fuse_neck_variables``.
+        if self.fused_necks:
+            self.neck1 = _Neck(7 * nc[3], d)
+            self.neck2 = _Neck(7 * nc[3], d)
+        else:
+            self.pose_layer = _Neck(4 * nc[3], d)
+            self.pose_auxlayer = _Neck(3 * nc[3], d)
+            self.par_layer = _Neck(4 * nc[3], d)
+            self.edge_layer = _Neck(3 * nc[3], d)
 
         # Refinement cells: 3 per refine iteration chain
         # (model_augment.py:354-363; the reference builds exactly 3 and
@@ -325,10 +336,17 @@ class NPPNet(nn.Module):
             resize_scale(features2[4], 4.0, align_corners=True),
         ], axis=-1)
 
-        input1 = self.pose_auxlayer(x1, train)
-        input2 = self.edge_layer(x2, train)
-        input3 = self.pose_layer(x1, train)
-        input4 = self.par_layer(x2, train)
+        if self.fused_necks:
+            cut = 3 * self.num_inchannels[3]
+            y1 = self.neck1(x1, train)
+            y2 = self.neck2(x2, train)
+            input1, input3 = y1[..., :cut], y1[..., cut:]
+            input2, input4 = y2[..., :cut], y2[..., cut:]
+        else:
+            input1 = self.pose_auxlayer(x1, train)
+            input2 = self.edge_layer(x2, train)
+            input3 = self.pose_layer(x1, train)
+            input4 = self.par_layer(x2, train)
 
         pose_list = [(self.pose_head[0](input3, train),
                       self.pose_auxnet[0](input1, train))]
@@ -347,6 +365,55 @@ class NPPNet(nn.Module):
                              self.edge_head[i](input2, train)))
 
         return pose_list, par_list
+
+
+def fuse_neck_variables(variables):
+    """Exact unfused→fused neck variable transform.
+
+    Concatenates ``pose_auxlayer``+``pose_layer`` → ``neck1`` and
+    ``edge_layer``+``par_layer`` → ``neck2`` along the output-channel
+    axis (conv kernels are HWIO, conv bias and every BN vector are
+    per-output-channel, so ``axis=-1`` is correct for every leaf).
+    Works on any variable collection dict (params + batch_stats).
+    The transform is exact: ``NPPNet(fused_necks=True).apply(fused_vars)``
+    equals the unfused forward in both train and eval modes
+    (tests/test_model.py)."""
+    import jax
+
+    cat = lambda a, b: jax.tree.map(
+        lambda p, q: jnp.concatenate([p, q], axis=-1), a, b)
+    out = {}
+    for col, tree in variables.items():
+        tree = dict(tree)
+        for fused, aux, main in (("neck1", "pose_auxlayer", "pose_layer"),
+                                 ("neck2", "edge_layer", "par_layer")):
+            if aux in tree and main in tree:
+                tree[fused] = cat(tree.pop(aux), tree.pop(main))
+        out[col] = tree
+    return out
+
+
+def unfuse_neck_variables(variables):
+    """Exact inverse of :func:`fuse_neck_variables` — splits ``neck1`` /
+    ``neck2`` back into the four per-task neck subtrees at the 3:4
+    channel boundary (aux/edge channels first). Lets a model trained in
+    the fused layout export reference-layout checkpoints."""
+    import jax
+
+    def split(tree):
+        a = jax.tree.map(lambda p: p[..., :p.shape[-1] * 3 // 7], tree)
+        b = jax.tree.map(lambda p: p[..., p.shape[-1] * 3 // 7:], tree)
+        return a, b
+
+    out = {}
+    for col, tree in variables.items():
+        tree = dict(tree)
+        for fused, aux, main in (("neck1", "pose_auxlayer", "pose_layer"),
+                                 ("neck2", "edge_layer", "par_layer")):
+            if fused in tree:
+                tree[aux], tree[main] = split(tree.pop(fused))
+        out[col] = tree
+    return out
 
 
 def build_model(cfg, search: bool = False, inter=None,

@@ -63,6 +63,66 @@ def test_batch_independence(tiny_model_bundle):
                                rtol=0, atol=5e-3)
 
 
+def test_fused_necks_exact(tiny_model_bundle):
+    """fused_necks=True + fuse_neck_variables must reproduce the unfused
+    forward exactly (both modes): conv output channels are independent and
+    BN statistics are per-channel, so channel-concatenating each stream's
+    two necks is function-preserving."""
+    from npp_tpu.models.augment import (fuse_neck_variables,
+                                        unfuse_neck_variables)
+
+    model, variables, _ = tiny_model_bundle
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)), jnp.float32)
+    fused_model = model.clone(fused_necks=True)
+    fused_vars = fuse_neck_variables(variables)
+    # The transform only rewrites the four neck subtrees.
+    assert "neck1" in fused_vars["params"]
+    assert "pose_layer" not in fused_vars["params"]
+    assert set(variables["params"]) - set(fused_vars["params"]) == {
+        "pose_layer", "pose_auxlayer", "par_layer", "edge_layer"}
+    # The inverse transform round-trips bit-exactly (it's a split of the
+    # concatenation — no arithmetic).
+    back = unfuse_neck_variables(fused_vars)
+    for a, b in zip(jax.tree.leaves(variables), jax.tree.leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    fwd = jax.jit(model.apply, static_argnames=("train",))
+    ffwd = jax.jit(fused_model.apply, static_argnames=("train",))
+    ref_pose, ref_par = fwd(variables, x, train=False)
+    got_pose, got_par = ffwd(fused_vars, x, train=False)
+    for (rm, ra), (gm, ga) in zip(ref_pose, got_pose):
+        np.testing.assert_allclose(np.asarray(gm), np.asarray(rm),
+                                   rtol=0, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(ra),
+                                   rtol=0, atol=1e-5)
+    for (rm, re), (gm, ge) in zip(ref_par, got_par):
+        np.testing.assert_allclose(np.asarray(gm), np.asarray(rm),
+                                   rtol=0, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(ge), np.asarray(re),
+                                   rtol=0, atol=1e-5)
+
+    # Train mode: outputs AND updated batch stats must agree — the fused
+    # BN's moments are the per-channel concatenation of the unfused ones.
+    step = jax.jit(lambda v, x: model.apply(
+        v, x, train=True, mutable=["batch_stats"]))
+    fstep = jax.jit(lambda v, x: fused_model.apply(
+        v, x, train=True, mutable=["batch_stats"]))
+    (ref_out, ref_mut) = step(variables, x)
+    (got_out, got_mut) = fstep(fused_vars, x)
+    # atol 1e-4: CPU convs reassociate differently between the 896-wide
+    # and 384/512-wide kernels (documented ~1e-4 noise floor); a genuine
+    # fusion bug (wrong concat order, mixed BN stats) errors at O(0.1).
+    np.testing.assert_allclose(np.asarray(got_out[1][-1][0]),
+                               np.asarray(ref_out[1][-1][0]),
+                               rtol=0, atol=1e-4)
+    refused = fuse_neck_variables(ref_mut)
+    for a, b in zip(jax.tree.leaves(refused["batch_stats"]),
+                    jax.tree.leaves(got_mut["batch_stats"])):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=0, atol=1e-4)
+
+
 def test_merged_streams_variant():
     """merged_streams=True (vmapped dual-stream encoder) must produce the
     same output structure; weights are stacked so values differ from the

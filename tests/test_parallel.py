@@ -48,6 +48,50 @@ def test_dryrun_multichip_full_train_step():
                                                    r.stderr[-2000:])
 
 
+def test_data_parallel_predictor():
+    """Predictor(mesh=...) — data-parallel serving: the sharded forward
+    must match the unsharded one on continuous outputs (argmax labels on
+    an untrained net are chaotic under fp reassociation noise, so the
+    end-to-end dicts are checked for execution/shape only)."""
+    code = """
+import numpy as np, jax, jax.numpy as jnp
+from npp_tpu.core.predictor import Predictor
+from npp_tpu.models.augment import NPPNet
+from npp_tpu.parallel.mesh import make_mesh
+
+model = NPPNet(num_classes=20, num_joints=16, layers=8, init_channels=8,
+               refine_layers=1, dtype=jnp.float32)
+variables = jax.jit(model.init, static_argnames=("train",))(
+    jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
+rng = np.random.default_rng(0)
+ims = [rng.integers(0, 255, (80 + 8 * i, 64, 3)).astype(np.uint8)
+       for i in range(5)]
+
+single = Predictor(model, variables, crop_size=(64, 64))
+sharded = Predictor(model, variables, crop_size=(64, 64),
+                    mesh=make_mesh())
+canvas = np.stack([single.preprocess(im)[0] for im in ims[:3]]
+                  + [single.preprocess(ims[0])[0]] * 5)
+a_hm, a_par = single._fwd(single.variables, jnp.asarray(canvas))
+b_hm, b_par = sharded._fwd(
+    sharded.variables,
+    jax.device_put(jnp.asarray(canvas), sharded._batch_sharding))
+np.testing.assert_allclose(np.asarray(b_hm), np.asarray(a_hm),
+                           rtol=0, atol=1e-4)
+np.testing.assert_allclose(np.asarray(b_par), np.asarray(a_par),
+                           rtol=0, atol=1e-4)
+
+outs = sharded.predict_batch(ims)   # 5 images pad to lcm(8, 8) = 8
+assert len(outs) == 5
+for im, o in zip(ims, outs):
+    assert o["parsing"].shape == im.shape[:2]
+    assert o["keypoints"].shape == (16, 3)
+print("PREDICTOR_DP_OK")
+"""
+    r = _run_in_mesh_env(code, timeout=560)
+    assert "PREDICTOR_DP_OK" in r.stdout, (r.stdout, r.stderr[-2000:])
+
+
 def test_data_parallel_matches_single_device():
     """Sharded train step must produce the same loss as unsharded (the
     SPMD partitioner only changes layout, not math)."""
