@@ -1,0 +1,143 @@
+"""Serving CLI: raw images in, parsing PNGs + LIP keypoint CSV out.
+
+The user-facing face of ``npp_tpu.core.predictor.Predictor`` — the
+working replacement for the reference's bit-rotted ``utils/eval_util.py``
+demo flow (single/multi-image TTA testing). Streams a directory (or
+glob) of images through the prefetch-threaded predictor and writes
+``<stem>.png`` palette parsings plus one ``pose_pred.csv`` in the LIP
+protocol (same format the eval engine and the reference's
+``pred_keypoints_lip.csv`` use).
+
+Examples:
+  # serve a folder with a converted reference checkpoint
+  python tools/predict.py --cfg experiments/lip/384_384.yaml \
+      --ckpt converted_ckpt --images demo_imgs/ --out preds/
+  # int8 + fused-neck serving, batch 16
+  python tools/predict.py --cfg experiments/lip/384_384.yaml \
+      --ckpt converted_ckpt --images 'demo_imgs/*.jpg' --out preds/ \
+      --int8 --fuse-necks --batch 16
+  # synthetic smoke (fresh init, tiny net)
+  python tools/predict.py --cfg experiments/lip/384_384.yaml \
+      --synthetic 4 --tiny --out preds/
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def _gather_images(spec: str) -> list[str]:
+    if os.path.isdir(spec):
+        paths = sorted(
+            p for p in glob.glob(os.path.join(spec, "*"))
+            if p.lower().endswith((".jpg", ".jpeg", ".png", ".bmp")))
+    else:
+        paths = sorted(glob.glob(spec))
+    if not paths:
+        raise SystemExit(f"no images match {spec!r}")
+    return paths
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--cfg", required=True)
+    p.add_argument("--ckpt", default="",
+                   help="checkpoint dir (empty = fresh init, smoke only)")
+    p.add_argument("--images", default="",
+                   help="image directory or glob")
+    p.add_argument("--out", default="predictions")
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--int8", action="store_true",
+                   help="serve dense convs as int8 MXU ops")
+    p.add_argument("--fuse-necks", action="store_true",
+                   help="serve through the fused-neck graph (exact)")
+    p.add_argument("--no-flip", action="store_true",
+                   help="disable flip TTA")
+    p.add_argument("--synthetic", type=int, default=0, metavar="N",
+                   help="predict N random images instead of --images")
+    p.add_argument("--tiny", action="store_true")
+    args = p.parse_args()
+
+    import cv2
+
+    from npp_tpu.config import load_config
+    from npp_tpu.core import train as T
+    from npp_tpu.core.checkpoint import CheckpointManager
+    from npp_tpu.core.predictor import Predictor
+    from npp_tpu.models.augment import build_model
+    from npp_tpu.utils.metrics import save_pose_csv
+    from npp_tpu.utils.vis import save_parsing_png
+
+    cfg = load_config(args.cfg)
+    if args.tiny:
+        cfg = load_config(args.cfg, overrides={
+            "TRAIN": {"LAYERS": 8, "INIT_CHANNELS": 8}})
+    size = (128, 128) if args.tiny else tuple(cfg.model.image_size)
+
+    model = build_model(cfg)
+    sample = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), sample, train=False)
+    if args.ckpt:
+        tx = T.make_train_optimizer(1e-3, (1,), 0.1, 1)
+        template = T.init_train_state(model, tx, jax.random.PRNGKey(0),
+                                      sample, cfg.model.refine_layers + 1)
+        state, meta = CheckpointManager(args.ckpt).restore_named(template,
+                                                                 "best")
+        if state is None:
+            state, meta = CheckpointManager(args.ckpt).restore(template)
+        assert state is not None, f"no checkpoint in {args.ckpt}"
+        variables = {"params": state.params["model"],
+                     "batch_stats": state.batch_stats}
+        print(f"loaded checkpoint meta: {meta}")
+
+    pred = Predictor(model, variables, crop_size=size,
+                     flip_test=not args.no_flip,
+                     quantize="int8" if args.int8 else None,
+                     fuse_necks=args.fuse_necks)
+
+    if args.synthetic:
+        rng = np.random.default_rng(0)
+        names = [f"synthetic_{i:03d}" for i in range(args.synthetic)]
+        images = [rng.integers(0, 255, (200 + 8 * (i % 3), 160, 3))
+                  .astype(np.uint8) for i in range(args.synthetic)]
+        image_iter = iter(images)
+    else:
+        paths = _gather_images(args.images)
+        names = [os.path.splitext(os.path.basename(p))[0] for p in paths]
+
+        def _read():
+            for path in paths:
+                im = cv2.imread(path, cv2.IMREAD_COLOR)
+                assert im is not None, f"unreadable image {path}"
+                yield cv2.cvtColor(im, cv2.COLOR_BGR2RGB)
+
+        image_iter = _read()
+
+    os.makedirs(args.out, exist_ok=True)
+    all_kp = []
+    for name, result in zip(names,
+                            pred.predict_stream(image_iter,
+                                                batch_size=args.batch)):
+        save_parsing_png(result["parsing"],
+                         os.path.join(args.out, f"{name}.png"),
+                         num_cls=cfg.dataset.num_classes)
+        all_kp.append(result["keypoints"])
+    if cfg.dataset.num_joints == 16:
+        save_pose_csv(names, np.stack(all_kp)[..., :2],
+                      os.path.join(args.out, "pose_pred.csv"))
+    print(f"wrote {len(all_kp)} parsings to {args.out}"
+          + ("" if cfg.dataset.num_joints != 16 else " + pose_pred.csv"))
+
+
+if __name__ == "__main__":
+    main()
