@@ -36,8 +36,11 @@ class Predictor:
         ``mesh``: a ``jax.sharding.Mesh`` with a ``"data"`` axis enables
         data-parallel multi-chip serving — weights replicated, request
         batches sharded over the axis, one SPMD program (no cross-chip
-        activation traffic at serving shapes; SCALING.md §Serving). The
-        device batch is padded to a multiple of lcm(8, n_data)."""
+        activation traffic at serving shapes; SCALING.md §Serving). A
+        2-D ``data x space`` mesh additionally shards image height
+        (spatial partitioning — per-request latency; crop H and H/4
+        must divide n_space). The device batch is padded to a multiple
+        of lcm(8, n_data)."""
         if fuse_necks and not getattr(model, "fused_necks", False):
             from npp_tpu.models.augment import fuse_neck_variables
             model = model.clone(fused_necks=True)
@@ -45,9 +48,10 @@ class Predictor:
         self.mesh = mesh
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
+
+            from npp_tpu.parallel.spatial import image_sharding
             self._n_data = int(mesh.shape["data"])
-            self._batch_sharding = NamedSharding(mesh,
-                                                 PartitionSpec("data"))
+            self._batch_sharding = image_sharding(mesh)
             variables = jax.device_put(
                 variables, NamedSharding(mesh, PartitionSpec()))
         else:

@@ -14,7 +14,8 @@ import pytest
 def _run_in_mesh_env(code: str, n_devices: int = 8, timeout: int = 560):
     env = dict(os.environ)
     env["JAX_PLATFORM_NAME"] = "cpu"
-    env["XLA_FLAGS"] = (f"--xla_force_host_platform_device_count={n_devices}")
+    env["XLA_FLAGS"] = (f"--xla_force_host_platform_device_count={n_devices}"
+                        " --xla_cpu_collective_timeout_seconds=600")
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
     env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "1"
     return subprocess.run([sys.executable, "-c", code], env=env,
@@ -48,16 +49,63 @@ def test_dryrun_multichip_full_train_step():
                                                    r.stderr[-2000:])
 
 
+def test_tensor_parallel_matches_single_device():
+    """Channel-sharded (tp) params must produce the same loss as
+    replicated params — the partitioner only changes placement. Runs the
+    full train step on a (data=2, space=2, model=2) 3-D mesh."""
+    code = """
+import numpy as np, jax, jax.numpy as jnp
+from npp_tpu.core import train as T
+from npp_tpu.core.criterion import LIP_CLASS_WEIGHTS
+from npp_tpu.models.augment import NPPNet
+from npp_tpu.parallel.spatial import shard_batch_spatial
+from npp_tpu.parallel.tensor import make_mesh_3d, shard_tree_tp, tp_spec
+
+model = NPPNet(num_classes=5, num_joints=4, layers=8, init_channels=8,
+               refine_layers=1, dtype=jnp.float32)
+tx = T.make_train_optimizer(1e-3, (100,), 0.1, 10)
+x = jnp.zeros((8, 64, 64, 3), jnp.float32)
+state = T.init_train_state(model, tx, jax.random.PRNGKey(0), x, 2)
+rng = np.random.default_rng(0)
+batch = {
+    "image": jnp.asarray(rng.standard_normal((8, 64, 64, 3)), jnp.float32),
+    "par": jnp.asarray(rng.integers(0, 5, (8, 64, 64)), jnp.int32),
+    "edge": jnp.asarray(rng.integers(0, 2, (8, 64, 64)), jnp.int32),
+    "pose": jnp.asarray(rng.random((8, 16, 16, 4)), jnp.float32),
+    "pose_aux": jnp.asarray(rng.random((8, 16, 16, 4)), jnp.float32),
+    "pose_weight": jnp.ones((8, 4), jnp.float32),
+}
+step = T.make_train_step(model, tx, class_weights=LIP_CLASS_WEIGHTS[:5],
+                         ohem_keep=256, donate=False)
+_, m_single = step(state, batch)
+
+mesh = make_mesh_3d(2, 2, 2)
+# Sanity: conv kernels actually shard their channel dim.
+k = jax.tree.leaves(state.params["model"]["stem0"])[0]
+assert tp_spec(k, 2) != (), k.shape
+state_s = shard_tree_tp(state, mesh)
+batch_s = shard_batch_spatial(batch, mesh)
+with mesh:
+    new_state, m_shard = step(state_s, batch_s)
+a, b = float(m_single["loss"]), float(m_shard["loss"])
+assert abs(a - b) / abs(a) < 1e-4, (a, b)
+assert int(new_state.step) == 1
+print("TP_MATCH", a, b)
+"""
+    r = _run_in_mesh_env(code, timeout=560)
+    assert "TP_MATCH" in r.stdout, (r.stdout, r.stderr[-2000:])
+
+
 def test_data_parallel_predictor():
-    """Predictor(mesh=...) — data-parallel serving: the sharded forward
-    must match the unsharded one on continuous outputs (argmax labels on
+    """Predictor(mesh=...) — dp x sp serving: the sharded forward must
+    match the unsharded one on continuous outputs (argmax labels on
     an untrained net are chaotic under fp reassociation noise, so the
     end-to-end dicts are checked for execution/shape only)."""
     code = """
 import numpy as np, jax, jax.numpy as jnp
 from npp_tpu.core.predictor import Predictor
 from npp_tpu.models.augment import NPPNet
-from npp_tpu.parallel.mesh import make_mesh
+from npp_tpu.parallel.spatial import make_mesh_2d
 
 model = NPPNet(num_classes=20, num_joints=16, layers=8, init_channels=8,
                refine_layers=1, dtype=jnp.float32)
@@ -69,7 +117,7 @@ ims = [rng.integers(0, 255, (80 + 8 * i, 64, 3)).astype(np.uint8)
 
 single = Predictor(model, variables, crop_size=(64, 64))
 sharded = Predictor(model, variables, crop_size=(64, 64),
-                    mesh=make_mesh())
+                    mesh=make_mesh_2d(4, 2))
 canvas = np.stack([single.preprocess(im)[0] for im in ims[:3]]
                   + [single.preprocess(ims[0])[0]] * 5)
 a_hm, a_par = single._fwd(single.variables, jnp.asarray(canvas))
@@ -81,7 +129,7 @@ np.testing.assert_allclose(np.asarray(b_hm), np.asarray(a_hm),
 np.testing.assert_allclose(np.asarray(b_par), np.asarray(a_par),
                            rtol=0, atol=1e-4)
 
-outs = sharded.predict_batch(ims)   # 5 images pad to lcm(8, 8) = 8
+outs = sharded.predict_batch(ims)   # 5 images pad to lcm(8, 4) = 8
 assert len(outs) == 5
 for im, o in zip(ims, outs):
     assert o["parsing"].shape == im.shape[:2]
