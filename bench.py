@@ -150,10 +150,11 @@ def bench_eval(n_images: int = 128) -> None:
 def bench_predict(n_images: int = 64, batch: int = 8,
                   quantize: str | None = None) -> None:
     """Serving-surface bench: Predictor.predict_stream end-to-end — host
-    cv2 preprocess (prefetch-threaded) + uint8 upload + flip-TTA forwards
-    + on-device decode + crop inverse mapping, raw RGB in / labels +
-    keypoints out. Wall-clock includes the dev tunnel's per-dispatch RTT
-    (several dispatches per batch), which production serving doesn't pay."""
+    cv2 preprocess (prefetch-threaded) + uint8 upload + the one-dispatch
+    serve program (flip-TTA forwards + parsing fuse + pose decode) + crop
+    inverse mapping, raw RGB in / labels + keypoints out. Wall-clock
+    includes the dev tunnel's per-batch dispatch RTT, which production
+    serving doesn't pay."""
     from npp_tpu.core.predictor import Predictor
     from npp_tpu.models.augment import NPPNet
 

@@ -14,7 +14,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from npp_tpu.core.inference import decode_pose_validate, flip_parsing_fuse
+from npp_tpu.core.inference import (FLIPPED_POSEIDX, FLIPPED_POSEIDX_PPP,
+                                    decode_pose_validate, flip_parsing_fuse)
 from npp_tpu.ops.resize import resize_bilinear
 
 
@@ -80,7 +81,30 @@ class Predictor:
             return (pose_list[-1][0].astype(jnp.float32),
                     par_list[-1][0].astype(jnp.float32))
 
+        def serve(variables, image_u8, crop_params, scales):
+            # The WHOLE serving pipeline — direct + flipped forwards,
+            # parsing upsample + flip fusion + argmax, pose decode — as
+            # one program: one dispatch (and one launch-overhead /
+            # tunnel-RTT) per batch instead of ~5.
+            ch_, cw_ = self.crop_size[1], self.crop_size[0]
+            pose_hm, par_logits = fwd(variables, image_u8)
+            par = resize_bilinear(par_logits, (ch_, cw_),
+                                  align_corners=False)
+            fp_hm = None
+            if self.flip_test:
+                fp_hm, fp_par = fwd(variables, image_u8[:, :, ::-1, :])
+                fpar = resize_bilinear(fp_par, (ch_, cw_),
+                                       align_corners=False)
+                par = flip_parsing_fuse(par, fpar, self.flip_pairs)
+            n_j = pose_hm.shape[-1]
+            fidx = (FLIPPED_POSEIDX if n_j == 16 else FLIPPED_POSEIDX_PPP
+                    if n_j == 14 else tuple(range(n_j)))
+            kp = decode_pose_validate(pose_hm, fp_hm, crop_params, scales,
+                                      (ch_, cw_), self.blur_sigma, fidx)
+            return jnp.argmax(par, axis=-1).astype(jnp.uint8), kp
+
         self._fwd = jax.jit(fwd)
+        self._serve = jax.jit(serve)
 
     def preprocess(self, im_rgb: np.ndarray):
         """Eval-path geometry (data_loader.py:221-237): long-side scale to
@@ -128,7 +152,6 @@ class Predictor:
         return self._predict_preprocessed(pre, images, pad_to_multiple)
 
     def _predict_preprocessed(self, pre, images, pad_to_multiple):
-        cw, ch = self.crop_size
         canvases = np.stack([p[0] for p in pre])
         crop_params = np.stack([p[1] for p in pre])        # (B, 1, 8)
         scales = np.asarray([p[2] for p in pre], np.float32)
@@ -150,26 +173,11 @@ class Predictor:
         batch = jnp.asarray(canvases)
         if self.mesh is not None:
             batch = jax.device_put(batch, self._batch_sharding)
-        pose_hm, par_logits = self._fwd(self.variables, batch)
-        if self.flip_test:
-            fp_hm, fp_par = self._fwd(self.variables, batch[:, :, ::-1, :])
-        else:
-            fp_hm = None
-
-        par = resize_bilinear(par_logits, (ch, cw), align_corners=False)
-        if self.flip_test:
-            fpar = resize_bilinear(fp_par, (ch, cw), align_corners=False)
-            par = flip_parsing_fuse(par, fpar, self.flip_pairs)
-        par_crops = np.asarray(jnp.argmax(par, axis=-1), np.uint8)
-
-        n_j = pose_hm.shape[-1]
-        from npp_tpu.core.inference import (FLIPPED_POSEIDX,
-                                            FLIPPED_POSEIDX_PPP)
-        fidx = (FLIPPED_POSEIDX if n_j == 16 else FLIPPED_POSEIDX_PPP
-                if n_j == 14 else tuple(range(n_j)))
-        kp = np.asarray(decode_pose_validate(
-            pose_hm, fp_hm, jnp.asarray(crop_params),
-            jnp.asarray(scales), (ch, cw), self.blur_sigma, fidx))
+        par_crops, kp = self._serve(self.variables, batch,
+                                    jnp.asarray(crop_params),
+                                    jnp.asarray(scales))
+        par_crops = np.asarray(par_crops)
+        kp = np.asarray(kp)
 
         return [self._postprocess(images[i], par_crops[i],
                                   crop_params[i], scales[i], kp[i])
