@@ -134,6 +134,14 @@ assert len(outs) == 5
 for im, o in zip(ims, outs):
     assert o["parsing"].shape == im.shape[:2]
     assert o["keypoints"].shape == (16, 3)
+
+# The serving rewrites compose with the mesh (SCALING.md): fused-neck +
+# int8 + dp x sp sharding in one SPMD program.
+composed = Predictor(model, variables, crop_size=(64, 64),
+                     fuse_necks=True, quantize="int8",
+                     mesh=make_mesh_2d(4, 2))
+outs2 = composed.predict_batch(ims[:2])
+assert len(outs2) == 2 and outs2[0]["parsing"].shape == ims[0].shape[:2]
 print("PREDICTOR_DP_OK")
 """
     r = _run_in_mesh_env(code, timeout=560)
