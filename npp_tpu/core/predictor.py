@@ -52,6 +52,13 @@ class Predictor:
 
             from npp_tpu.parallel.spatial import image_sharding
             self._n_data = int(mesh.shape["data"])
+            n_space = int(dict(mesh.shape).get("space", 1))
+            if n_space > 1:
+                ch_ = crop_size[1]
+                if ch_ % n_space or (ch_ // 4) % n_space:
+                    raise ValueError(
+                        f"crop height {ch_} (and {ch_}//4) must divide "
+                        f"space={n_space} for spatial serving")
             self._batch_sharding = image_sharding(mesh)
             variables = jax.device_put(
                 variables, NamedSharding(mesh, PartitionSpec()))
@@ -170,9 +177,13 @@ class Predictor:
             scales = np.concatenate(
                 [scales, np.repeat(scales[-1:], reps)])
 
-        batch = jnp.asarray(canvases)
         if self.mesh is not None:
-            batch = jax.device_put(batch, self._batch_sharding)
+            # One host-side-sliced transfer straight to the mesh sharding
+            # (jnp.asarray first would commit the full batch to one chip
+            # and then re-scatter it).
+            batch = jax.device_put(canvases, self._batch_sharding)
+        else:
+            batch = jnp.asarray(canvases)
         par_crops, kp = self._serve(self.variables, batch,
                                     jnp.asarray(crop_params),
                                     jnp.asarray(scales))
@@ -197,16 +208,22 @@ class Predictor:
         _END = object()
 
         def feed():
-            chunk, pres = [], []
-            for im in images:
-                chunk.append(im)
-                pres.append(self.preprocess(im))
-                if len(chunk) == batch_size:
+            # Any exception (unreadable image, bad iterator) is shipped to
+            # the consumer instead of dying silently in this thread —
+            # otherwise the generator would block on q.get() forever.
+            try:
+                chunk, pres = [], []
+                for im in images:
+                    chunk.append(im)
+                    pres.append(self.preprocess(im))
+                    if len(chunk) == batch_size:
+                        q.put((pres, chunk))
+                        chunk, pres = [], []
+                if chunk:
                     q.put((pres, chunk))
-                    chunk, pres = [], []
-            if chunk:
-                q.put((pres, chunk))
-            q.put(_END)
+                q.put(_END)
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                q.put(e)
 
         t = threading.Thread(target=feed, daemon=True)
         t.start()
@@ -214,6 +231,9 @@ class Predictor:
             item = q.get()
             if item is _END:
                 break
+            if isinstance(item, BaseException):
+                t.join()
+                raise item
             pres, chunk = item
             yield from self._predict_preprocessed(pres, chunk, 8)
         t.join()

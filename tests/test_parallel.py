@@ -11,7 +11,7 @@ import sys
 import pytest
 
 
-def _run_in_mesh_env(code: str, n_devices: int = 8, timeout: int = 560):
+def _run_in_mesh_env(code: str, n_devices: int = 8, timeout: int = 1800):
     env = dict(os.environ)
     env["JAX_PLATFORM_NAME"] = "cpu"
     env["XLA_FLAGS"] = (f"--xla_force_host_platform_device_count={n_devices}"
@@ -92,7 +92,7 @@ assert abs(a - b) / abs(a) < 1e-4, (a, b)
 assert int(new_state.step) == 1
 print("TP_MATCH", a, b)
 """
-    r = _run_in_mesh_env(code, timeout=560)
+    r = _run_in_mesh_env(code, timeout=1800)
     assert "TP_MATCH" in r.stdout, (r.stdout, r.stderr[-2000:])
 
 
@@ -144,7 +144,7 @@ outs2 = composed.predict_batch(ims[:2])
 assert len(outs2) == 2 and outs2[0]["parsing"].shape == ims[0].shape[:2]
 print("PREDICTOR_DP_OK")
 """
-    r = _run_in_mesh_env(code, timeout=560)
+    r = _run_in_mesh_env(code, timeout=1800)
     assert "PREDICTOR_DP_OK" in r.stdout, (r.stdout, r.stderr[-2000:])
 
 

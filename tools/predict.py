@@ -31,9 +31,6 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 
-import jax
-import jax.numpy as jnp
-
 
 def _gather_images(spec: str) -> list[str]:
     if os.path.isdir(spec):
@@ -69,36 +66,13 @@ def main():
 
     import cv2
 
-    from npp_tpu.config import load_config
-    from npp_tpu.core import train as T
-    from npp_tpu.core.checkpoint import CheckpointManager
+    from npp_tpu.core.loading import load_eval_model
     from npp_tpu.core.predictor import Predictor
-    from npp_tpu.models.augment import build_model
     from npp_tpu.utils.metrics import save_pose_csv
     from npp_tpu.utils.vis import save_parsing_png
 
-    cfg = load_config(args.cfg)
-    if args.tiny:
-        cfg = load_config(args.cfg, overrides={
-            "TRAIN": {"LAYERS": 8, "INIT_CHANNELS": 8}})
-    size = (128, 128) if args.tiny else tuple(cfg.model.image_size)
-
-    model = build_model(cfg)
-    sample = jnp.zeros((1, 64, 64, 3), jnp.float32)
-    variables = jax.jit(model.init, static_argnames=("train",))(
-        jax.random.PRNGKey(0), sample, train=False)
-    if args.ckpt:
-        tx = T.make_train_optimizer(1e-3, (1,), 0.1, 1)
-        template = T.init_train_state(model, tx, jax.random.PRNGKey(0),
-                                      sample, cfg.model.refine_layers + 1)
-        state, meta = CheckpointManager(args.ckpt).restore_named(template,
-                                                                 "best")
-        if state is None:
-            state, meta = CheckpointManager(args.ckpt).restore(template)
-        assert state is not None, f"no checkpoint in {args.ckpt}"
-        variables = {"params": state.params["model"],
-                     "batch_stats": state.batch_stats}
-        print(f"loaded checkpoint meta: {meta}")
+    cfg, model, variables, size = load_eval_model(args.cfg, args.ckpt,
+                                                  args.tiny)
 
     pred = Predictor(model, variables, crop_size=size,
                      flip_test=not args.no_flip,
@@ -114,11 +88,16 @@ def main():
     else:
         paths = _gather_images(args.images)
         names = [os.path.splitext(os.path.basename(p))[0] for p in paths]
+        if len(set(names)) != len(names):
+            dupes = sorted({n for n in names if names.count(n) > 1})
+            raise SystemExit(
+                f"duplicate image stems would overwrite outputs: {dupes}")
 
         def _read():
             for path in paths:
                 im = cv2.imread(path, cv2.IMREAD_COLOR)
-                assert im is not None, f"unreadable image {path}"
+                if im is None:
+                    raise SystemExit(f"unreadable image {path}")
                 yield cv2.cvtColor(im, cv2.COLOR_BGR2RGB)
 
         image_iter = _read()

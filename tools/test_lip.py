@@ -20,9 +20,6 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-import jax
-import jax.numpy as jnp
-
 
 def main():
     p = argparse.ArgumentParser()
@@ -36,35 +33,12 @@ def main():
     p.add_argument("--limit", type=int, default=0)
     args = p.parse_args()
 
-    from npp_tpu.config import load_config
     from npp_tpu.core import test_seg
-    from npp_tpu.core import train as T
-    from npp_tpu.core.checkpoint import CheckpointManager
+    from npp_tpu.core.loading import load_eval_model
     from npp_tpu.data import DataLoader, LIPDataset, SyntheticDataset
-    from npp_tpu.models.augment import build_model
 
-    cfg = load_config(args.cfg)
-    if args.tiny:
-        cfg = load_config(args.cfg, overrides={
-            "TRAIN": {"LAYERS": 8, "INIT_CHANNELS": 8}})
-    size = (128, 128) if args.tiny else tuple(cfg.model.image_size)
-
-    model = build_model(cfg)
-    sample = jnp.zeros((1, size[1], size[0], 3), jnp.float32)
-    variables = jax.jit(model.init, static_argnames=("train",))(
-        jax.random.PRNGKey(0), sample, train=False)
-    if args.ckpt:
-        tx = T.make_train_optimizer(1e-3, (1,), 0.1, 1)
-        template = T.init_train_state(model, tx, jax.random.PRNGKey(0),
-                                      sample, cfg.model.refine_layers + 1)
-        state, meta = CheckpointManager(args.ckpt).restore_named(template,
-                                                                 "best")
-        if state is None:
-            state, meta = CheckpointManager(args.ckpt).restore(template)
-        assert state is not None, f"no checkpoint in {args.ckpt}"
-        variables = {"params": state.params["model"],
-                     "batch_stats": state.batch_stats}
-        print(f"loaded checkpoint meta: {meta}")
+    cfg, model, variables, size = load_eval_model(args.cfg, args.ckpt,
+                                                  args.tiny)
 
     if args.synthetic:
         ds = SyntheticDataset(length=args.limit or 4, crop_size=size,
