@@ -417,14 +417,16 @@ def unfuse_neck_variables(variables):
 
 
 def build_model(cfg, search: bool = False, inter=None,
-                fusion=None) -> NPPNet:
+                fusion=None, fused_necks: bool = False) -> NPPNet:
     """Construct an NPPNet from a Config (augment_lip_sync.py:190).
 
     ``inter``/``fusion`` override the released genotypes — the handoff from
     a search run (the reference hard-codes search results into
-    genotypes.py; here they flow via genotype JSON files)."""
+    genotypes.py; here they flow via genotype JSON files).
+    ``fused_necks`` selects the fused-neck layout (exact; convert
+    existing checkpoints with ``fuse_neck_variables``)."""
     section = cfg.search if search else cfg.train
-    kw = {}
+    kw = {"fused_necks": fused_necks}
     if inter is not None:
         kw["inter"] = inter
     if fusion is not None:
