@@ -198,6 +198,24 @@ def make_train_step(model, tx, *, class_weights,
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
+def make_train_step_scanned(model, tx, *, donate: bool = True, **loss_kw):
+    """K train steps per dispatch: ``lax.scan`` of the pure step body over
+    batches stacked on a leading axis (the training analog of
+    ``evaluate.validate_scanned``).
+
+    One device program per K steps removes K-1 launch/RTT overheads and
+    host-side dispatch jitter — useful when the host feeds faster than it
+    can dispatch (production TPU-VM hosts; this dev tunnel pays ~30 ms per
+    dispatch). Metrics return stacked ``(K, ...)``. Use with
+    ``engine.train_epoch_scanned``."""
+    body = make_train_step_body(model, tx, **loss_kw)
+
+    def multi(state: TrainState, stacked_batch) -> tuple[TrainState, dict]:
+        return jax.lax.scan(body, state, stacked_batch)
+
+    return jax.jit(multi, donate_argnums=(0,) if donate else ())
+
+
 def make_eval_forward(model):
     """Jitted eval forward returning last-stage outputs plus loss inputs.
 

@@ -51,6 +51,53 @@ def train_epoch(train_step, state, loader, *, epoch: int, logger=None,
     return state, ave_loss.average(), global_step
 
 
+def train_epoch_scanned(multi_step, state, loader, *, epoch: int,
+                        steps_per_dispatch: int = 8, logger=None,
+                        writer=None, global_step: int = 0):
+    """train_epoch with K steps fused into one device dispatch.
+
+    Collects ``steps_per_dispatch`` loader batches, stacks them on a
+    leading axis, and runs ``multi_step`` (``make_train_step_scanned``)
+    once — one launch per K steps instead of K. A short tail chunk
+    simply runs the per-step count it has (one extra program per
+    distinct tail size; pick ``steps_per_dispatch`` dividing the epoch
+    length to avoid it). Logs once per dispatch."""
+    import jax.numpy as jnp
+
+    ave_loss = AverageMeter()
+    tic = time.time()
+    chunk: list = []
+    i_iter = 0
+
+    def dispatch(state, chunk, i_iter, global_step):
+        stacked = {k: jnp.stack([b[k] for b in chunk])
+                   for k in chunk[0] if k != "names"}
+        state, metrics = multi_step(state, stacked)
+        mean_loss = float(jnp.mean(metrics["loss"]))
+        ave_loss.update(mean_loss, n=len(chunk))
+        if logger:
+            logger.info(
+                f"Epoch: [{epoch}][{i_iter}/{len(loader)}] "
+                f"Loss: {ave_loss.average():.6f} "
+                f"({len(chunk)} steps/dispatch) "
+                f"{time.time() - tic:.2f}s")
+        if writer is not None:
+            writer.scalar("train_loss", ave_loss.average(), global_step)
+            global_step += 1
+        return state, global_step
+
+    for batch in loader:
+        chunk.append(batch)
+        i_iter += 1
+        if len(chunk) == steps_per_dispatch:
+            state, global_step = dispatch(state, chunk, i_iter, global_step)
+            chunk = []
+            tic = time.time()
+    if chunk:
+        state, global_step = dispatch(state, chunk, i_iter, global_step)
+    return state, ave_loss.average(), global_step
+
+
 def search_epoch(weight_step, arch_step, state, train_loader, mini_loader,
                  *, epoch: int, entropy_epoch: int = 70, logger=None,
                  writer=None, print_freq: int = 100, global_step: int = 0):

@@ -36,6 +36,10 @@ def parse_args():
     p.add_argument("--resume", action="store_true")
     p.add_argument("--pretrained-encoder", default="",
                    help="orbax dir of a pretrained search state to merge")
+    p.add_argument("--steps-per-dispatch", type=int, default=1,
+                   help="fuse K train steps into one device dispatch "
+                        "(lax.scan; fewer launches when the host outruns "
+                        "dispatch)")
     p.add_argument("--fast-aug", action="store_true",
                    help="use the native fused-warp augmentation path")
     p.add_argument("--genotype", default="",
@@ -198,11 +202,15 @@ def main():
 
     class_weights = (LIP_CLASS_WEIGHTS if cfg.dataset.dataset == "lip"
                      else PASCAL_CLASS_WEIGHTS)
-    train_step = T.make_train_step(
-        model, tx, class_weights=class_weights,
-        ignore_index=cfg.train.ignore_label,
-        ohem_thres=cfg.loss.ohem_thres, ohem_keep=cfg.loss.ohem_keep,
-        use_target_weight=cfg.loss.use_target_weight)
+    step_kw = dict(class_weights=class_weights,
+                   ignore_index=cfg.train.ignore_label,
+                   ohem_thres=cfg.loss.ohem_thres,
+                   ohem_keep=cfg.loss.ohem_keep,
+                   use_target_weight=cfg.loss.use_target_weight)
+    if args.steps_per_dispatch > 1:
+        train_step = T.make_train_step_scanned(model, tx, **step_kw)
+    else:
+        train_step = T.make_train_step(model, tx, **step_kw)
     is_ppp = cfg.dataset.dataset == "ppp"
     flip_pairs = () if is_ppp else ((14, 15), (16, 17), (18, 19))
     if is_ppp:
@@ -222,9 +230,15 @@ def main():
     gstep = 0
     for epoch in range(begin_epoch, epochs):
         train_loader.set_epoch(epoch)
-        state, train_loss, gstep = engine.train_epoch(
-            train_step, state, train_loader, epoch=epoch, logger=logger,
-            writer=writer, print_freq=cfg.print_freq, global_step=gstep)
+        if args.steps_per_dispatch > 1:
+            state, train_loss, gstep = engine.train_epoch_scanned(
+                train_step, state, train_loader, epoch=epoch,
+                steps_per_dispatch=args.steps_per_dispatch,
+                logger=logger, writer=writer, global_step=gstep)
+        else:
+            state, train_loss, gstep = engine.train_epoch(
+                train_step, state, train_loader, epoch=epoch, logger=logger,
+                writer=writer, print_freq=cfg.print_freq, global_step=gstep)
         if is_ppp:
             result = E.validate_ppp(
                 eval_step, state.params, state.batch_stats, val_loader,
