@@ -105,6 +105,32 @@ def test_full_model_int8_forward_close(tiny_model_bundle):
     assert np.isfinite(hp).all()
 
 
+def test_int8_composes_with_fused_necks(tiny_model_bundle):
+    """int8 serving of a fused-neck checkpoint equals int8 serving of the
+    unfused one: weight scales are per-output-channel (preserved by the
+    channel concat) and the activation scale is per-tensor on the SAME
+    neck input, so the int32 accumulations are identical integers."""
+    from npp_tpu.models.augment import fuse_neck_variables
+
+    model, variables, x = tiny_model_bundle
+    xr = jnp.asarray(
+        np.random.default_rng(3).standard_normal(x.shape), jnp.float32)
+    fused_model = model.clone(fused_necks=True)
+    fused_vars = fuse_neck_variables(variables)
+    with quantize.quantized_convs("int8"):
+        pose_a, par_a = jax.jit(model.apply, static_argnames=("train",))(
+            variables, xr, train=False)
+        pose_b, par_b = jax.jit(fused_model.apply,
+                                static_argnames=("train",))(
+            fused_vars, xr, train=False)
+    np.testing.assert_allclose(np.asarray(par_b[-1][0]),
+                               np.asarray(par_a[-1][0]),
+                               rtol=0, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(pose_b[-1][0]),
+                               np.asarray(pose_a[-1][0]),
+                               rtol=0, atol=1e-4)
+
+
 def test_quantized_convs_context_restores():
     assert quantize.conv_quant_mode() is None
     with quantize.quantized_convs("int8"):
