@@ -151,3 +151,19 @@ def test_multiscale_inference_params_form():
                               flip=True)
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
     assert np.isfinite(a).all() and a.shape == (1, 80, 112, c)
+
+
+def test_top_level_lazy_exports():
+    """`import npp_tpu` stays light; names resolve lazily and wrong names
+    raise AttributeError."""
+    import npp_tpu
+
+    assert npp_tpu.__version__
+    assert "Predictor" in dir(npp_tpu)
+    from npp_tpu.core.predictor import Predictor
+    assert npp_tpu.Predictor is Predictor
+    from npp_tpu.models.augment import build_model
+    assert npp_tpu.build_model is build_model
+    import pytest
+    with pytest.raises(AttributeError):
+        npp_tpu.NoSuchThing
