@@ -33,11 +33,14 @@ def _tile_origins(length: int, crop: int, stride: int) -> list[int]:
 @functools.lru_cache(maxsize=32)
 def _build_ms_program(apply_fn, takes_params: bool, oh: int, ow: int,
                       num_classes: int, ch: int, cw: int, scales: tuple,
-                      flip: bool, pad_value_key):
+                      flip: bool, pad_value_key, mesh=None):
     """Compile one program covering every scale of an (oh, ow) image.
 
     ``apply_fn`` must be hashable (plain functions and jitted callables
     are); the cache holds a strong reference so ``id`` reuse is safe.
+    With ``mesh``, the in-program tile batch is sharded over the mesh's
+    ``data`` axis — all scales' tile forwards spread across chips in the
+    same single program (multi-chip multi-scale eval).
     """
     stride_h = int(ch * 2.0 / 3.0)
     stride_w = int(cw * 2.0 / 3.0)
@@ -60,7 +63,11 @@ def _build_ms_program(apply_fn, takes_params: bool, oh: int, ow: int,
         total += len(ys) * len(xs)
 
     n_fwd = 2 * total if flip else total
-    padded = -(-n_fwd // 8) * 8
+    mult = 8
+    if mesh is not None:
+        import math
+        mult = math.lcm(8, int(mesh.shape["data"]))
+    padded = -(-n_fwd // mult) * mult
     pad_pixel = (None if pad_value_key is None
                  else jnp.asarray(pad_value_key, jnp.float32))
 
@@ -86,6 +93,10 @@ def _build_ms_program(apply_fn, takes_params: bool, oh: int, ow: int,
             tiles = jnp.concatenate(
                 [tiles, jnp.zeros((padded - n_fwd,) + tiles.shape[1:],
                                   tiles.dtype)])
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            tiles = jax.lax.with_sharding_constraint(
+                tiles, NamedSharding(mesh, PartitionSpec("data")))
         logits = (apply_fn(params, tiles) if takes_params
                   else apply_fn(tiles))
         logits = logits[:n_fwd].astype(jnp.float32)
@@ -115,7 +126,8 @@ def multi_scale_inference(apply_fn, image: np.ndarray, *, num_classes: int,
                           params=None, crop_size=(384, 384),
                           scales=(0.5, 0.75, 1.0, 1.25, 1.5),
                           flip: bool = True,
-                          pad_value: np.ndarray | float = 0.0) -> np.ndarray:
+                          pad_value: np.ndarray | float = 0.0,
+                          mesh=None) -> np.ndarray:
     """``image``: (1, H, W, 3) normalized. Returns (1, H, W, C) summed
     exp-logits across scales (base_dataset.py:241-244 semantics).
 
@@ -128,7 +140,9 @@ def multi_scale_inference(apply_fn, image: np.ndarray, *, num_classes: int,
     The compiled program is cached per (apply_fn, geometry); scalar
     ``pad_value`` pads tiles with 0.0 exactly like the reference's
     zero-padded windows, an array pad_value fills the padding with that
-    pixel.
+    pixel. ``mesh`` (with a ``"data"`` axis) shards the in-program tile
+    batch across chips — multi-chip multi-scale eval in one SPMD program
+    (tile count pads to lcm(8, n_data)).
     """
     _, oh, ow, _ = image.shape
     ch, cw = crop_size
@@ -137,5 +151,5 @@ def multi_scale_inference(apply_fn, image: np.ndarray, *, num_classes: int,
                          .tolist()))
     run = _build_ms_program(apply_fn, params is not None, oh, ow,
                             num_classes, ch, cw, tuple(scales), bool(flip),
-                            pv_key)
+                            pv_key, mesh)
     return np.asarray(run(params, jnp.asarray(image)))

@@ -148,6 +148,33 @@ print("PREDICTOR_DP_OK")
     assert "PREDICTOR_DP_OK" in r.stdout, (r.stdout, r.stderr[-2000:])
 
 
+def test_multiscale_mesh_matches_single_device():
+    """multi_scale_inference(mesh=...) — the in-program tile batch sharded
+    over the data axis must aggregate to the same result."""
+    code = """
+import numpy as np, jax.numpy as jnp
+from npp_tpu.core.multiscale import multi_scale_inference
+from npp_tpu.parallel.mesh import make_mesh
+
+c = 3
+rng = np.random.default_rng(5)
+img = rng.standard_normal((1, 80, 112, 3)).astype(np.float32)
+w = jnp.asarray(rng.standard_normal((3, c)).astype(np.float32))
+
+def apply_fn(params, tiles):
+    return jnp.einsum("bhwc,cd->bhwd", tiles, params)
+
+kw = dict(num_classes=c, params=w, crop_size=(64, 64),
+          scales=(0.5, 1.0), flip=True)
+a = multi_scale_inference(apply_fn, img, **kw)
+b = multi_scale_inference(apply_fn, img, mesh=make_mesh(), **kw)
+np.testing.assert_allclose(b, a, rtol=0, atol=1e-4)
+print("MS_MESH_OK")
+"""
+    r = _run_in_mesh_env(code, timeout=1800)
+    assert "MS_MESH_OK" in r.stdout, (r.stdout, r.stderr[-2000:])
+
+
 def test_data_parallel_matches_single_device():
     """Sharded train step must produce the same loss as unsharded (the
     SPMD partitioner only changes layout, not math)."""
