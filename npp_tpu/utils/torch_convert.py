@@ -151,17 +151,15 @@ def _torch_leaves(state_dict):
     return buckets
 
 
-def convert_reference_state_dict(
-        state_dict, flax_variables) -> tuple[dict, dict]:
-    """Returns ``(variables, counts)``: new flax variables
-    ({'params', 'batch_stats'}) with every conv/BN leaf replaced by the
-    reference checkpoint's values, and ``counts`` =
-    ``{'conv': n_converted_convs, 'bn': n_converted_bns}``.
+def _paired_modules(state_dict, flax_variables):
+    """Pair torch leaf modules with our leaf-module path prefixes.
 
-    ``state_dict``: torch name -> array-like (tensors or numpy).
-    ``flax_variables``: target-structure variables (e.g. ``model.init``
-    output); used for structure only, all conv/BN leaves are overwritten.
-    """
+    Returns ``(pairs, params, stats)``: ``pairs`` is a registration-order
+    list of ``(kind, torch_prefix, torch_params, flax_prefix)`` with
+    ``kind`` in {'conv', 'bn'}; ``params``/``stats`` are the flattened
+    flax trees. Raises on any structural mismatch. The reference
+    SE_Block's dead stride-1 BNs (operations.py:117,126-129) are dropped
+    from the pairing (our SEBlock never materializes them)."""
     torch_buckets = _torch_leaves(state_dict)
 
     params = dict(flatten_dict(flax_variables["params"]))
@@ -187,7 +185,7 @@ def convert_reference_state_dict(
         raise ValueError(
             f"bucket mismatch: {sorted(unmatched, key=repr)[:8]}")
 
-    n_conv = n_bn = 0
+    pairs = []
     for key, tb in torch_buckets.items():
         ob = ours[key]
         if len(tb["bn"]) > len(ob["bn"]):
@@ -205,7 +203,27 @@ def convert_reference_state_dict(
                 raise ValueError(
                     f"{key}: {kind} count mismatch "
                     f"{[p for p, _ in tb[kind]]} vs {ob[kind]}")
-        for (tprefix, tp), oprefix in zip(tb["conv"], ob["conv"]):
+            for (tprefix, tp), oprefix in zip(tb[kind], ob[kind]):
+                pairs.append((kind, tprefix, tp, oprefix))
+    return pairs, params, stats
+
+
+def convert_reference_state_dict(
+        state_dict, flax_variables) -> tuple[dict, dict]:
+    """Returns ``(variables, counts)``: new flax variables
+    ({'params', 'batch_stats'}) with every conv/BN leaf replaced by the
+    reference checkpoint's values, and ``counts`` =
+    ``{'conv': n_converted_convs, 'bn': n_converted_bns}``.
+
+    ``state_dict``: torch name -> array-like (tensors or numpy).
+    ``flax_variables``: target-structure variables (e.g. ``model.init``
+    output); used for structure only, all conv/BN leaves are overwritten.
+    """
+    pairs, params, stats = _paired_modules(state_dict, flax_variables)
+
+    n_conv = n_bn = 0
+    for kind, tprefix, tp, oprefix in pairs:
+        if kind == "conv":
             kernel = np.transpose(tp["weight"], (2, 3, 1, 0))
             tgt = params[oprefix + ("kernel",)]
             if kernel.shape != tgt.shape:
@@ -217,7 +235,7 @@ def convert_reference_state_dict(
                 params[oprefix + ("bias",)] = bias.astype(
                     params[oprefix + ("bias",)].dtype)
             n_conv += 1
-        for (tprefix, tp), oprefix in zip(tb["bn"], ob["bn"]):
+        else:
             if tp["running_mean"].shape != stats[oprefix + ("mean",)].shape:
                 raise ValueError(f"{tprefix}->{'/'.join(oprefix)}: bn shape")
             has_affine = oprefix + ("scale",) in params
@@ -235,6 +253,63 @@ def convert_reference_state_dict(
     out = dict(flax_variables)
     out["params"] = unflatten_dict(params)
     out["batch_stats"] = unflatten_dict(stats)
+    return out, {"conv": n_conv, "bn": n_bn}
+
+
+def export_reference_state_dict(
+        flax_variables, template_state_dict) -> tuple[dict, dict]:
+    """The inverse of :func:`convert_reference_state_dict`: NPPNet flax
+    variables -> reference ``model_augment.Network`` state_dict, so
+    TPU-trained checkpoints flow back to the reference ecosystem
+    (reference ``tools``/eval scripts consume ``.pth`` state_dicts,
+    augment_lip_sync.py:222-231).
+
+    ``template_state_dict`` supplies the reference names/shapes/dtypes —
+    build it as ``Network(cfg).state_dict()`` at the matching config.
+    Returns ``(state_dict, counts)``: a name -> numpy dict with every
+    conv/BN entry replaced by the flax values (kernels HWIO -> OIHW, BN
+    scale/bias -> weight/bias, batch_stats -> running stats); unmapped
+    entries (``num_batches_tracked``, the SE dead BNs) keep template
+    values. Models in the fused-neck layout must be unfused first
+    (``models.augment.unfuse_neck_variables``).
+
+    Round-trip exactness is tested against the reference oracle
+    (tests/test_reference_parity_model.py)."""
+    pairs, params, stats = _paired_modules(template_state_dict,
+                                           flax_variables)
+
+    out = {k: np.asarray(v) for k, v in template_state_dict.items()}
+    n_conv = n_bn = 0
+    for kind, tprefix, tp, oprefix in pairs:
+        if kind == "conv":
+            kernel = np.asarray(params[oprefix + ("kernel",)])
+            weight = np.transpose(kernel, (3, 2, 0, 1))
+            tgt = out[tprefix + ".weight"]
+            if weight.shape != tgt.shape:
+                raise ValueError(f"{'/'.join(oprefix)}->{tprefix}: "
+                                 f"{weight.shape} vs {tgt.shape}")
+            out[tprefix + ".weight"] = weight.astype(tgt.dtype)
+            if "bias" in tp:
+                out[tprefix + ".bias"] = np.asarray(
+                    params[oprefix + ("bias",)]).astype(tgt.dtype)
+            n_conv += 1
+        else:
+            mean = np.asarray(stats[oprefix + ("mean",)])
+            if mean.shape != np.shape(tp["running_mean"]):
+                raise ValueError(f"{'/'.join(oprefix)}->{tprefix}: bn shape")
+            has_affine = oprefix + ("scale",) in params
+            if ("weight" in tp) != has_affine:
+                raise ValueError(
+                    f"{'/'.join(oprefix)}->{tprefix}: affine mismatch")
+            if has_affine:
+                out[tprefix + ".weight"] = np.asarray(
+                    params[oprefix + ("scale",)]).astype(np.float32)
+                out[tprefix + ".bias"] = np.asarray(
+                    params[oprefix + ("bias",)]).astype(np.float32)
+            out[tprefix + ".running_mean"] = mean.astype(np.float32)
+            out[tprefix + ".running_var"] = np.asarray(
+                stats[oprefix + ("var",)]).astype(np.float32)
+            n_bn += 1
     return out, {"conv": n_conv, "bn": n_bn}
 
 
@@ -272,6 +347,27 @@ def convert_reference_search_state_dict(state_dict, flax_variables):
         params[key] = val.astype(np.float32)
     out["params"] = params
     return out, dict(counts, arch=len(arch))
+
+
+def export_reference_search_state_dict(flax_variables, template_state_dict):
+    """SearchNet flax variables -> reference supernet state_dict
+    (alphas/betas included) — inverse of
+    :func:`convert_reference_search_state_dict`. ``flax_variables`` must
+    be in the unrolled fusion layout (``convert_fusion_layout(tree,
+    to_vmapped=False)`` migrates the default stacked layout)."""
+    missing = [k for k in _ARCH_PARAM_NAMES if k not in template_state_dict]
+    if missing:
+        raise ValueError(f"template missing arch params: {missing}")
+    rest = {k: v for k, v in template_state_dict.items()
+            if k not in _ARCH_PARAM_NAMES}
+    out, counts = export_reference_state_dict(flax_variables, rest)
+    for key in _ARCH_PARAM_NAMES:
+        val = np.asarray(flax_variables["params"][key])
+        tgt = np.asarray(template_state_dict[key])
+        if val.shape != tgt.shape:
+            raise ValueError(f"{key}: {val.shape} vs {tgt.shape}")
+        out[key] = val.astype(tgt.dtype)
+    return out, dict(counts, arch=len(_ARCH_PARAM_NAMES))
 
 
 def _convert_fusion_cell(cell: dict, to_vmapped: bool, steps: int = 4):

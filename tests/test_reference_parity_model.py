@@ -85,3 +85,18 @@ def test_forward_parity_all_stages(converted_pair):
             scale = max(np.abs(want).max(), 1e-3)
             err = np.abs(got - want).max() / scale
             assert err < 2e-3, (s, b, err)
+
+
+def test_export_round_trip(converted_pair):
+    """flax -> torch export inverts the torch -> flax conversion exactly:
+    every state_dict entry (incl. untouched num_batches_tracked and the
+    SE dead BNs, which keep template values) is byte-equal."""
+    from npp_tpu.utils.torch_convert import export_reference_state_dict
+
+    ref, _, converted, counts = converted_pair
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    out, ecounts = export_reference_state_dict(converted, sd)
+    assert ecounts == counts
+    assert set(out) == set(sd)
+    for k in sd:
+        assert np.array_equal(out[k], sd[k]), k

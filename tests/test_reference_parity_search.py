@@ -203,3 +203,18 @@ def test_loss_entropy_oracle(converted_supernet):
             for k in ARCH_PARAM_NAMES}
     got = float(loss_entropy(arch))
     assert abs(got - want) / abs(want) < 1e-5, (got, want)
+
+
+def test_export_search_round_trip(converted_supernet):
+    """flax -> torch supernet export (arch params included) inverts the
+    conversion byte-exactly."""
+    from npp_tpu.utils.torch_convert import (
+        export_reference_search_state_dict)
+
+    ref, _, converted, counts = converted_supernet
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    out, ecounts = export_reference_search_state_dict(converted, sd)
+    assert ecounts == counts
+    assert set(out) == set(sd)
+    for k in sd:
+        assert np.array_equal(out[k], sd[k]), k
