@@ -175,6 +175,85 @@ print("MS_MESH_OK")
     assert "MS_MESH_OK" in r.stdout, (r.stdout, r.stderr[-2000:])
 
 
+def test_zero_optimizer_sharding_matches():
+    """ZeRO-1 (optimizer moments sharded over `data`) must produce the
+    same losses and params as the replicated step — the placement only
+    changes layout — while actually sharding the moment storage."""
+    code = """
+import numpy as np, jax, jax.numpy as jnp
+from npp_tpu.core import train as T
+from npp_tpu.core.criterion import LIP_CLASS_WEIGHTS
+from npp_tpu.models.augment import NPPNet
+from npp_tpu.parallel.mesh import make_mesh, shard_batch
+from npp_tpu.parallel.zero import (make_zero_train_step, shard_state_zero,
+                                   zero_spec)
+
+model = NPPNet(num_classes=5, num_joints=4, layers=8, init_channels=8,
+               refine_layers=1, dtype=jnp.float32)
+tx = T.make_train_optimizer(1e-3, (100,), 0.1, 10)
+x = jnp.zeros((8, 64, 64, 3), jnp.float32)
+rng = np.random.default_rng(0)
+batch = {
+    "image": jnp.asarray(rng.standard_normal((8, 64, 64, 3)), jnp.float32),
+    "par": jnp.asarray(rng.integers(0, 5, (8, 64, 64)), jnp.int32),
+    "edge": jnp.asarray(rng.integers(0, 2, (8, 64, 64)), jnp.int32),
+    "pose": jnp.asarray(rng.random((8, 16, 16, 4)), jnp.float32),
+    "pose_aux": jnp.asarray(rng.random((8, 16, 16, 4)), jnp.float32),
+    "pose_weight": jnp.ones((8, 4), jnp.float32),
+}
+kw = dict(class_weights=LIP_CLASS_WEIGHTS[:5], ohem_keep=256)
+
+# Baseline: the SAME dp-sharded step with replicated optimizer state, so
+# the only difference under test is the ZeRO moment placement (a
+# single-device baseline would add dp reduction-order noise).
+from jax.sharding import NamedSharding, PartitionSpec as P
+mesh = make_mesh()
+batch_s = shard_batch(batch, mesh)
+state = jax.device_put(
+    T.init_train_state(model, tx, jax.random.PRNGKey(0), x, 2),
+    NamedSharding(mesh, P()))
+base_step = T.make_train_step(model, tx, donate=False, **kw)
+s_base, m0 = base_step(state, batch_s)
+s_base, m1 = base_step(s_base, batch_s)
+
+state_z = shard_state_zero(
+    T.init_train_state(model, tx, jax.random.PRNGKey(0), x, 2), mesh)
+# The placement really shards: a conv-kernel moment splits its O dim.
+mu = [l for l in jax.tree.leaves(state_z.opt_state)
+      if np.ndim(l) == 4 and l.shape[-1] % 8 == 0]
+assert mu and not mu[0].sharding.is_fully_replicated, mu[0].sharding
+assert mu[0].addressable_shards[0].data.shape[-1] == mu[0].shape[-1] // 8
+assert zero_spec(np.zeros(()), 8) == ()  # scalars replicate
+
+zstep = make_zero_train_step(model, tx, mesh, **kw)
+state_z, z0 = zstep(state_z, batch_s)
+state_z, z1 = zstep(state_z, batch_s)
+for a, b in ((m0, z0), (m1, z1)):
+    ra = float(a["loss"]); rb = float(b["loss"])
+    assert abs(ra - rb) / abs(ra) < 1e-4, (ra, rb)
+# Step-2 params match the replicated run through the moment shards.
+# Exactness caveat: XLA may reduce-scatter grads under ZeRO vs
+# all-reduce when replicated; the summation-order noise (~1e-7) flips
+# Adam's sign-like step-1 update at near-zero-grad elements, so a few
+# elements differ by up to ~2*lr/step. Assert that envelope (max
+# < 2 steps * 2*lr) and that typical drift is tiny.
+pa = jax.tree.leaves(s_base.params["model"])
+pb = jax.tree.leaves(state_z.params["model"])
+err = max(float(jnp.max(jnp.abs(x - y))) for x, y in zip(pa, pb))
+mean = (sum(float(jnp.sum(jnp.abs(x - y))) for x, y in zip(pa, pb))
+        / sum(x.size for x in pa))
+assert err < 4e-3 + 1e-5, err
+assert mean < 1e-5, mean
+# Outputs keep ZeRO placement (donation-compatible across steps).
+mu2 = [l for l in jax.tree.leaves(state_z.opt_state)
+       if np.ndim(l) == 4 and l.shape[-1] % 8 == 0]
+assert not mu2[0].sharding.is_fully_replicated
+print("ZERO_MATCH", float(m1["loss"]), float(z1["loss"]), err)
+"""
+    r = _run_in_mesh_env(code, timeout=1800)
+    assert "ZERO_MATCH" in r.stdout, (r.stdout, r.stderr[-2000:])
+
+
 def test_data_parallel_matches_single_device():
     """Sharded train step must produce the same loss as unsharded (the
     SPMD partitioner only changes layout, not math)."""

@@ -40,6 +40,10 @@ def parse_args():
                    help="fuse K train steps into one device dispatch "
                         "(lax.scan; fewer launches when the host outruns "
                         "dispatch)")
+    p.add_argument("--zero", action="store_true",
+                   help="ZeRO-1: shard optimizer moments over the data "
+                        "axis (parallel/zero.py); frees ~2 param copies "
+                        "per chip at one update all-gather per step")
     p.add_argument("--fast-aug", action="store_true",
                    help="use the native fused-warp augmentation path")
     p.add_argument("--genotype", default="",
@@ -173,7 +177,12 @@ def main():
     num_stages = cfg.model.refine_layers + 1
     state = T.init_train_state(model, tx, jax.random.PRNGKey(0), sample,
                                num_stages)
-    state = replicate(state, mesh)
+    if args.zero:
+        from npp_tpu.parallel.zero import shard_state_zero
+
+        state = shard_state_zero(state, mesh)
+    else:
+        state = replicate(state, mesh)
     logger.info("state initialized")
 
     ckpt = CheckpointManager(os.path.join(out_dir, "checkpoints"))
@@ -207,7 +216,13 @@ def main():
                    ohem_thres=cfg.loss.ohem_thres,
                    ohem_keep=cfg.loss.ohem_keep,
                    use_target_weight=cfg.loss.use_target_weight)
-    if args.steps_per_dispatch > 1:
+    if args.zero:
+        from npp_tpu.parallel.zero import make_zero_train_step
+
+        train_step = make_zero_train_step(
+            model, tx, mesh, steps_per_dispatch=args.steps_per_dispatch,
+            **step_kw)
+    elif args.steps_per_dispatch > 1:
         train_step = T.make_train_step_scanned(model, tx, **step_kw)
     else:
         train_step = T.make_train_step(model, tx, **step_kw)
