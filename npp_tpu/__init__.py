@@ -25,6 +25,8 @@ _EXPORTS = {
     "Predictor": "npp_tpu.core.predictor",
     "load_config": "npp_tpu.config",
     "load_eval_model": "npp_tpu.core.loading",
+    "convert_reference_state_dict": "npp_tpu.utils.torch_convert",
+    "export_reference_state_dict": "npp_tpu.utils.torch_convert",
 }
 
 __all__ = sorted(_EXPORTS) + ["__version__"]
