@@ -82,3 +82,48 @@ def test_cli_roundtrip(tmp_path):
     want = t_pose[-1][0].numpy()
     scale = max(np.abs(want).max(), 1e-3)
     assert np.abs(got - want).max() / scale < 2e-3
+
+
+def test_cli_export_roundtrip(tmp_path):
+    """convert CLI -> orbax -> export CLI -> .pth: the exported
+    state_dict is byte-equal to the original reference checkpoint."""
+    import os
+
+    from models.model_augment import Network  # reference
+
+    cfg = NS(DATASET=NS(NUM_CLASSES=7, NUM_JOINTS=4),
+             TRAIN=NS(LAYERS=8, INIT_CHANNELS=8),
+             MODEL=NS(DECONV_WITH_BIAS=False, HEAD="", REFINE_LAYERS=1))
+    torch.manual_seed(0)
+    ref = Network(cfg).eval()
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    pth = tmp_path / "checkpoint.pth"
+    torch.save(ref.state_dict(), str(pth))
+
+    yaml = tmp_path / "tiny.yaml"
+    yaml.write_text(
+        "DATASET:\n  NUM_CLASSES: 7\n  NUM_JOINTS: 4\n"
+        "TRAIN:\n  LAYERS: 8\n  INIT_CHANNELS: 8\n"
+        "MODEL:\n  REFINE_LAYERS: 1\n")
+    orbax_dir = tmp_path / "orbax_ckpt"
+    env = dict(os.environ)
+    env["JAX_PLATFORM_NAME"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, "tools/convert_checkpoint.py", "--pth", str(pth),
+         "--out", str(orbax_dir), "--cfg", str(yaml)],
+        capture_output=True, text=True, env=env, timeout=900)
+    assert r.returncode == 0, r.stderr[-3000:]
+
+    out_pth = tmp_path / "exported.pth"
+    r = subprocess.run(
+        [sys.executable, "tools/export_checkpoint.py", "--ckpt",
+         str(orbax_dir), "--out", str(out_pth), "--cfg", str(yaml)],
+        capture_output=True, text=True, env=env, timeout=900)
+    assert r.returncode == 0, r.stderr[-3000:]
+
+    out_sd = {k: v.numpy()
+              for k, v in torch.load(str(out_pth),
+                                     weights_only=False).items()}
+    assert set(out_sd) == set(sd)
+    for k in sd:
+        assert np.array_equal(out_sd[k], sd[k]), k
