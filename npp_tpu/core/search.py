@@ -89,7 +89,8 @@ def make_search_steps(model, weight_tx, arch_tx, *, class_weights,
                       ignore_index: int = 255, ohem_thres: float = 0.9,
                       ohem_keep: int = 131072,
                       use_target_weight: bool = False,
-                      share_program: bool = True):
+                      share_program: bool = True,
+                      zero_mesh=None):
     """Returns (weight_step, arch_step), both jitted.
 
     weight_step(state, batch): standard step on the train split.
@@ -103,7 +104,21 @@ def make_search_steps(model, weight_tx, arch_tx, *, class_weights,
     compile time vs two separate programs. The loss scale (reference uses
     ``loss2 = 2*losses2`` on the arch step, function.py:612) and entropy
     coefficient become traced scalars.
+
+    ``zero_mesh``: a Mesh enables ZeRO-1 — both Adam moment trees stay
+    sharded over ``data`` (``parallel/zero.py``; place the state with
+    ``shard_state_zero(state, mesh, fields=("w_opt_state",
+    "a_opt_state"))`` first).
     """
+    _SEARCH_OPT_FIELDS = ("w_opt_state", "a_opt_state")
+
+    def _constrain(state: SearchState) -> SearchState:
+        if zero_mesh is None:
+            return state
+        from npp_tpu.parallel.zero import constrain_state_zero
+
+        return constrain_state_zero(state, zero_mesh,
+                                    fields=_SEARCH_OPT_FIELDS)
 
     def _loss(params, batch_stats, batch, scale, entropy_coef):
         loss, (new_stats, metrics, _) = compute_losses(
@@ -140,9 +155,9 @@ def make_search_steps(model, weight_tx, arch_tx, *, class_weights,
             params, w_opt, a_opt = jax.lax.cond(is_arch, apply_arch,
                                                 apply_weight, None)
             step = state.step + jnp.where(is_arch, 0, 1)
-            return SearchState(step=step, params=params,
-                               batch_stats=new_stats, w_opt_state=w_opt,
-                               a_opt_state=a_opt), metrics
+            return _constrain(SearchState(
+                step=step, params=params, batch_stats=new_stats,
+                w_opt_state=w_opt, a_opt_state=a_opt)), metrics
 
         bilevel = jax.jit(bilevel)
 
@@ -162,9 +177,9 @@ def make_search_steps(model, weight_tx, arch_tx, *, class_weights,
         updates, new_opt = weight_tx.update(grads, state.w_opt_state,
                                             state.params)
         params = optax.apply_updates(state.params, updates)
-        return SearchState(step=state.step + 1, params=params,
-                           batch_stats=new_stats, w_opt_state=new_opt,
-                           a_opt_state=state.a_opt_state), metrics
+        return _constrain(SearchState(
+            step=state.step + 1, params=params, batch_stats=new_stats,
+            w_opt_state=new_opt, a_opt_state=state.a_opt_state)), metrics
 
     def arch_step(state: SearchState, batch, entropy_coef):
         grads, (new_stats, metrics) = jax.grad(
@@ -173,10 +188,9 @@ def make_search_steps(model, weight_tx, arch_tx, *, class_weights,
         updates, new_opt = arch_tx.update(grads, state.a_opt_state,
                                           state.params)
         params = optax.apply_updates(state.params, updates)
-        return SearchState(step=state.step, params=params,
-                           batch_stats=new_stats,
-                           w_opt_state=state.w_opt_state,
-                           a_opt_state=new_opt), metrics
+        return _constrain(SearchState(
+            step=state.step, params=params, batch_stats=new_stats,
+            w_opt_state=state.w_opt_state, a_opt_state=new_opt)), metrics
 
     return jax.jit(weight_step), jax.jit(arch_step)
 

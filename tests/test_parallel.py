@@ -295,3 +295,72 @@ print("DP_MATCH", a, b)
 """
     r = _run_in_mesh_env(code)
     assert "DP_MATCH" in r.stdout, (r.stdout, r.stderr[-2000:])
+
+
+def test_zero_search_steps_match():
+    """ZeRO-1 on the bi-level search state (both Adam moment trees
+    sharded over `data`): weight+arch losses must equal the replicated
+    run and params stay within Adam's sign-noise envelope. Heavy:
+    compiles two bilevel programs cold (~20 min each on a busy host;
+    persistent-cached afterwards)."""
+    code = """
+import time, numpy as np, jax, jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+from npp_tpu.core import search as S
+from npp_tpu.core.criterion import LIP_CLASS_WEIGHTS
+from npp_tpu.models.search import SearchNet
+from npp_tpu.parallel.mesh import make_mesh, shard_batch
+from npp_tpu.parallel.zero import shard_state_zero
+
+model = SearchNet(num_classes=5, num_joints=4, layers=8, init_channels=8,
+                  refine_layers=1, remat=False, dtype=jnp.float32)
+w_tx, a_tx = S.make_search_optimizers(w_lr=1e-3, alpha_lr=3e-4,
+                                      lr_step=(100,), lr_factor=0.1,
+                                      steps_per_epoch=10)
+x = jnp.zeros((8, 64, 64, 3), jnp.float32)
+state = S.init_search_state(model, w_tx, a_tx, jax.random.PRNGKey(0), x, 2)
+
+rng = np.random.default_rng(0)
+b, hw, h = 8, 64, 16
+batch = {
+    "image": jnp.asarray(rng.standard_normal((b, hw, hw, 3)), jnp.float32),
+    "par": jnp.asarray(rng.integers(0, 5, (b, hw, hw)), jnp.int32),
+    "edge": jnp.asarray(rng.integers(0, 2, (b, hw, hw)), jnp.int32),
+    "pose": jnp.asarray(rng.random((b, h, h, 4)), jnp.float32),
+    "pose_aux": jnp.asarray(rng.random((b, h, h, 4)), jnp.float32),
+    "pose_weight": jnp.ones((b, 4), jnp.float32),
+}
+kw = dict(class_weights=LIP_CLASS_WEIGHTS[:5], ohem_keep=64)
+mesh = make_mesh()
+batch_s = shard_batch(batch, mesh)
+fields = ("w_opt_state", "a_opt_state")
+
+wstep, astep = S.make_search_steps(model, w_tx, a_tx, **kw)
+s_r = jax.device_put(state, NamedSharding(mesh, P()))
+s_r, mw = wstep(s_r, batch_s)
+s_r, ma = astep(s_r, batch_s, 1.0)
+
+wstep_z, astep_z = S.make_search_steps(model, w_tx, a_tx, zero_mesh=mesh, **kw)
+s_z = shard_state_zero(state, mesh, fields=fields)
+mu = [l for f in fields for l in jax.tree.leaves(getattr(s_z, f))
+      if np.ndim(l) == 4 and l.shape[-1] % 8 == 0]
+assert mu and not mu[0].sharding.is_fully_replicated
+s_z, zw = wstep_z(s_z, batch_s)
+s_z, za = astep_z(s_z, batch_s, 1.0)
+for a_, b_ in ((mw, zw), (ma, za)):
+    ra, rb = float(a_["loss"]), float(b_["loss"])
+    assert abs(ra - rb) / abs(ra) < 1e-4, (ra, rb)
+mu2 = [l for f in fields for l in jax.tree.leaves(getattr(s_z, f))
+       if np.ndim(l) == 4 and l.shape[-1] % 8 == 0]
+assert not mu2[0].sharding.is_fully_replicated
+pa = jax.tree.leaves(s_r.params["model"])
+pb = jax.tree.leaves(s_z.params["model"])
+err = max(float(jnp.max(jnp.abs(p - q))) for p, q in zip(pa, pb))
+mean = (sum(float(jnp.sum(jnp.abs(p - q))) for p, q in zip(pa, pb))
+        / sum(p.size for p in pa))
+print("SEARCH_ZERO_MATCH", err, mean)
+assert err < 4e-3 + 1e-5, err
+assert mean < 1e-5, mean
+"""
+    r = _run_in_mesh_env(code, timeout=5400)
+    assert "SEARCH_ZERO_MATCH" in r.stdout, (r.stdout, r.stderr[-2000:])

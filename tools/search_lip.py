@@ -32,6 +32,9 @@ def parse_args():
     p.add_argument("--resume", action="store_true")
     p.add_argument("--warmup-epochs", type=int, default=-1,
                    help="override warmup (reference hard-codes 15)")
+    p.add_argument("--zero", action="store_true",
+                   help="ZeRO-1: shard both Adam moment trees over the "
+                        "data axis (parallel/zero.py)")
     p.add_argument("opts", nargs=argparse.REMAINDER)
     return p.parse_args()
 
@@ -121,7 +124,13 @@ def main():
     num_stages = cfg.model.refine_layers + 1
     state = S.init_search_state(model, w_tx, a_tx, jax.random.PRNGKey(0),
                                 sample, num_stages)
-    state = replicate(state, mesh)
+    if args.zero:
+        from npp_tpu.parallel.zero import shard_state_zero
+
+        state = shard_state_zero(state, mesh,
+                                 fields=("w_opt_state", "a_opt_state"))
+    else:
+        state = replicate(state, mesh)
     logger.info("search state initialized")
 
     class_weights = (LIP_CLASS_WEIGHTS if cfg.dataset.dataset == "lip"
@@ -130,7 +139,8 @@ def main():
         model, w_tx, a_tx, class_weights=class_weights,
         ignore_index=cfg.train.ignore_label,
         ohem_thres=cfg.loss.ohem_thres, ohem_keep=cfg.loss.ohem_keep,
-        use_target_weight=cfg.loss.use_target_weight)
+        use_target_weight=cfg.loss.use_target_weight,
+        zero_mesh=mesh if args.zero else None)
     flip_pairs = (((14, 15), (16, 17), (18, 19))
                   if cfg.dataset.dataset == "lip" else ())
     eval_step = E.make_eval_step(
