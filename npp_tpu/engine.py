@@ -8,8 +8,6 @@ re-expressed around jitted SPMD steps.
 from __future__ import annotations
 
 import time
-import jax
-import numpy as np
 
 from npp_tpu.utils.logging_utils import AverageMeter
 

@@ -24,7 +24,6 @@ from typing import Any, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
-import numpy as np
 
 from npp_tpu import genotypes as gt
 from npp_tpu.models.cells import Cell, UpsampleCell

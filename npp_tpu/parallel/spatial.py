@@ -27,8 +27,6 @@ Divisibility: H (and the stride-4 target height h = H/4) must divide by
 """
 from __future__ import annotations
 
-from typing import Any
-
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

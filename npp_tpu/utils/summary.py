@@ -8,7 +8,6 @@ the fused program rather than a conv/linear-only estimate.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 
