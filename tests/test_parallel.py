@@ -364,3 +364,44 @@ assert mean < 1e-5, mean
 """
     r = _run_in_mesh_env(code, timeout=5400)
     assert "SEARCH_ZERO_MATCH" in r.stdout, (r.stdout, r.stderr[-2000:])
+
+
+def test_zero_state_checkpoint_roundtrip(tmp_path):
+    """Saving a ZeRO-sharded TrainState and restoring with a sharded
+    template must preserve both values and the sharded placement
+    (resume under --zero keeps the memory savings)."""
+    code = f"""
+import numpy as np, jax, jax.numpy as jnp
+from npp_tpu.core import train as T
+from npp_tpu.core.checkpoint import CheckpointManager
+from npp_tpu.models.augment import NPPNet
+from npp_tpu.parallel.mesh import make_mesh
+from npp_tpu.parallel.zero import shard_state_zero
+
+model = NPPNet(num_classes=5, num_joints=4, layers=8, init_channels=8,
+               refine_layers=1, dtype=jnp.float32)
+tx = T.make_train_optimizer(1e-3, (100,), 0.1, 10)
+x = jnp.zeros((8, 64, 64, 3), jnp.float32)
+state = T.init_train_state(model, tx, jax.random.PRNGKey(0), x, 2)
+mesh = make_mesh()
+state_z = shard_state_zero(state, mesh)
+
+ckpt = CheckpointManager({str(tmp_path / "ck")!r})
+ckpt.save(0, state_z)
+ckpt.wait()
+
+template = shard_state_zero(
+    T.init_train_state(model, tx, jax.random.PRNGKey(1), x, 2), mesh)
+restored, meta = ckpt.restore(template)
+assert meta["epoch"] == 0
+mu = [l for l in jax.tree.leaves(restored.opt_state)
+      if np.ndim(l) == 4 and l.shape[-1] % 8 == 0]
+assert mu and not mu[0].sharding.is_fully_replicated, mu[0].sharding
+pa = jax.tree.leaves(state_z.params["model"])
+pb = jax.tree.leaves(restored.params["model"])
+assert all(np.array_equal(np.asarray(p), np.asarray(q))
+           for p, q in zip(pa, pb))
+print("ZERO_CKPT_OK")
+"""
+    r = _run_in_mesh_env(code, timeout=1800)
+    assert "ZERO_CKPT_OK" in r.stdout, (r.stdout, r.stderr[-2000:])
