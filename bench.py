@@ -29,7 +29,7 @@ REFERENCE_GPU_IMG_PER_SEC = 20.0
 
 
 def bench_infer(quantize: str | None = None, fused_necks: bool = False,
-                merged_streams: bool = False) -> None:
+                merged_streams: bool = False, repeat: int = 1) -> None:
     from npp_tpu.models.augment import NPPNet, fuse_neck_variables
     from npp_tpu.ops.quantize import quantized_convs
 
@@ -70,19 +70,24 @@ def bench_infer(quantize: str | None = None, fused_necks: bool = False,
 
     image = images[0]
     float(chain(variables, image))  # warmup compile + execute + fetch
-    t0 = time.perf_counter()
-    float(chain(variables, image))
-    dt = (time.perf_counter() - t0) / n_iters
-    img_per_sec = batch / dt
+    rates = []
+    for _ in range(max(1, repeat)):
+        t0 = time.perf_counter()
+        float(chain(variables, image))
+        rates.append(batch * n_iters / (time.perf_counter() - t0))
+    img_per_sec = float(np.median(rates))
 
     # Single-image device latency via the same in-jit chain at batch 1
     # (a synchronous per-call measurement would include the dev tunnel's
     # ~30ms RTT, which doesn't exist in production serving).
     lat_image = images[0][:1]
     float(chain(variables, lat_image))
-    t0 = time.perf_counter()
-    float(chain(variables, lat_image))
-    p50_ms = (time.perf_counter() - t0) / n_iters * 1000
+    lats = []
+    for _ in range(max(1, repeat)):
+        t0 = time.perf_counter()
+        float(chain(variables, lat_image))
+        lats.append((time.perf_counter() - t0) / n_iters * 1000)
+    p50_ms = float(np.median(lats))
 
     tag = ("" if quantize is None else f"_{quantize}") + (
         "_fusednecks" if fused_necks else "") + (
@@ -96,7 +101,10 @@ def bench_infer(quantize: str | None = None, fused_necks: bool = False,
         "extra": {"p50_single_image_ms": round(p50_ms, 2),
                   "batch": batch,
                   "backend": jax.default_backend(),
-                  **({"quantize": quantize} if quantize else {})},
+                  **({"quantize": quantize} if quantize else {}),
+                  **({"runs_img_per_sec": [round(r, 1) for r in rates],
+                      "runs_p50_ms": [round(l, 2) for l in lats]}
+                     if repeat > 1 else {})},
     }
     print(json.dumps(result))
 
@@ -488,11 +496,16 @@ def main() -> None:
                             "infer_merged", "eval", "pipeline", "search",
                             "train", "ppp_ms", "train_e2e", "search_e2e",
                             "predict", "predict_int8"])
+    p.add_argument("--repeat", type=int, default=1,
+                   help="repeat the timed infer measurement N times and "
+                        "report the median (variance in extra.runs_*; "
+                        "infer-family configs only)")
     args = p.parse_args()
-    {"infer": bench_infer,
-     "infer_int8": lambda: bench_infer(quantize="int8"),
-     "infer_fused": lambda: bench_infer(fused_necks=True),
-     "infer_merged": lambda: bench_infer(merged_streams=True),
+    rep = args.repeat
+    {"infer": lambda: bench_infer(repeat=rep),
+     "infer_int8": lambda: bench_infer(quantize="int8", repeat=rep),
+     "infer_fused": lambda: bench_infer(fused_necks=True, repeat=rep),
+     "infer_merged": lambda: bench_infer(merged_streams=True, repeat=rep),
      "eval": bench_eval, "pipeline": bench_pipeline,
      "search": bench_search_step, "train": bench_train,
      "ppp_ms": bench_ppp_multiscale, "train_e2e": bench_train_e2e,
