@@ -107,18 +107,16 @@ def make_search_steps(model, weight_tx, arch_tx, *, class_weights,
 
     ``zero_mesh``: a Mesh enables ZeRO-1 — both Adam moment trees stay
     sharded over ``data`` (``parallel/zero.py``; place the state with
-    ``shard_state_zero(state, mesh, fields=("w_opt_state",
-    "a_opt_state"))`` first).
+    ``shard_state_zero(state, mesh, fields=SEARCH_OPT_FIELDS)`` first).
     """
-    _SEARCH_OPT_FIELDS = ("w_opt_state", "a_opt_state")
-
     def _constrain(state: SearchState) -> SearchState:
         if zero_mesh is None:
             return state
-        from npp_tpu.parallel.zero import constrain_state_zero
+        from npp_tpu.parallel.zero import (SEARCH_OPT_FIELDS,
+                                           constrain_state_zero)
 
         return constrain_state_zero(state, zero_mesh,
-                                    fields=_SEARCH_OPT_FIELDS)
+                                    fields=SEARCH_OPT_FIELDS)
 
     def _loss(params, batch_stats, batch, scale, entropy_coef):
         loss, (new_stats, metrics, _) = compute_losses(

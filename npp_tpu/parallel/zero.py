@@ -14,8 +14,11 @@ moments are *placed* sharded (`shard_state_zero`) and the train step
 (`constrain_state_zero`); XLA's SPMD partitioner then computes the
 moment/update elementwise math shard-locally and inserts the one
 all-gather where the updates meet the replicated params. The step math
-is identical to the replicated step (elementwise per moment entry), so
-losses/params match the unsharded run exactly (tests/test_parallel.py).
+is the replicated step's (elementwise per moment entry); in practice
+losses match tightly while individual params can drift by up to ~2*lr
+per step at near-zero-gradient elements, because reduce-scatter vs
+all-reduce summation order perturbs Adam's sign-like first updates
+(quantified in tests/test_parallel.py).
 
 When to use: memory headroom. The flagship (77M params) fits easily on
 one v5e, so dp-replicated is the default; wide/deep variants or large
@@ -46,7 +49,8 @@ def zero_spec(x, n: int, axis_name: str = DATA_AXIS) -> P:
     return P()
 
 
-OPT_FIELDS = ("opt_state",)
+OPT_FIELDS = ("opt_state",)           # core.train.TrainState
+SEARCH_OPT_FIELDS = ("w_opt_state", "a_opt_state")  # core.search.SearchState
 
 
 def _map_state(state, moment_fn, other_fn, fields=OPT_FIELDS):
@@ -108,11 +112,17 @@ def make_zero_train_step(model, tx, mesh: Mesh, *, donate: bool = True,
 
     body = make_train_step_body(model, tx, **loss_kw)
 
+    def body_c(state, batch):
+        # Constrain INSIDE the scan body so the K-step moment carry is
+        # pinned sharded too — constraining only the dispatch-boundary
+        # output would let the partitioner replicate the carry across
+        # the scan and forfeit the memory saving mid-program.
+        new_state, metrics = body(state, batch)
+        return constrain_state_zero(new_state, mesh, axis_name), metrics
+
     def step(state, batch):
         if steps_per_dispatch > 1:
-            new_state, metrics = jax.lax.scan(body, state, batch)
-        else:
-            new_state, metrics = body(state, batch)
-        return constrain_state_zero(new_state, mesh, axis_name), metrics
+            return jax.lax.scan(body_c, state, batch)
+        return body_c(state, batch)
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())

@@ -127,3 +127,61 @@ def test_cli_export_roundtrip(tmp_path):
     assert set(out_sd) == set(sd)
     for k in sd:
         assert np.array_equal(out_sd[k], sd[k]), k
+
+
+def test_cli_export_from_epoch_save(tmp_path):
+    """Export straight from a CheckpointManager EPOCH save (pytree nested
+    under <epoch>/default/, unlike the flat best/warmed/final mirrors)."""
+    import os
+
+    from models.model_augment import Network  # reference
+
+    import orbax.checkpoint as ocp
+
+    from npp_tpu.core.checkpoint import CheckpointManager
+    from npp_tpu.utils.torch_convert import convert_reference_state_dict
+    from npp_tpu.models.augment import NPPNet
+
+    cfg = NS(DATASET=NS(NUM_CLASSES=7, NUM_JOINTS=4),
+             TRAIN=NS(LAYERS=8, INIT_CHANNELS=8),
+             MODEL=NS(DECONV_WITH_BIAS=False, HEAD="", REFINE_LAYERS=1))
+    torch.manual_seed(0)
+    ref = Network(cfg).eval()
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+
+    model = NPPNet(num_classes=7, num_joints=4, layers=8, init_channels=8,
+                   refine_layers=1, dtype=jnp.float32)
+    variables = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3)), train=False))
+    zeros = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
+                         dict(variables))
+    converted, _ = convert_reference_state_dict(sd, zeros)
+
+    # A TrainState-shaped pytree, saved as an epoch checkpoint.
+    state_like = {"params": {"model": converted["params"],
+                             "criterion": {"lamda_pose": np.zeros(2)}},
+                  "batch_stats": converted["batch_stats"]}
+    ckpt = CheckpointManager(str(tmp_path / "ckmgr"))
+    ckpt.save(3, state_like)
+    ckpt.wait()
+
+    yaml = tmp_path / "tiny.yaml"
+    yaml.write_text(
+        "DATASET:\n  NUM_CLASSES: 7\n  NUM_JOINTS: 4\n"
+        "TRAIN:\n  LAYERS: 8\n  INIT_CHANNELS: 8\n"
+        "MODEL:\n  REFINE_LAYERS: 1\n")
+    out_pth = tmp_path / "exported.pth"
+    env = dict(os.environ)
+    env["JAX_PLATFORM_NAME"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, "tools/export_checkpoint.py", "--ckpt",
+         str(tmp_path / "ckmgr" / "3"), "--out", str(out_pth),
+         "--cfg", str(yaml)],
+        capture_output=True, text=True, env=env, timeout=900)
+    assert r.returncode == 0, r.stderr[-3000:]
+    out_sd = {k: v.numpy()
+              for k, v in torch.load(str(out_pth),
+                                     weights_only=False).items()}
+    for k in sd:
+        assert np.array_equal(out_sd[k], sd[k]), k

@@ -248,6 +248,23 @@ assert mean < 1e-5, mean
 mu2 = [l for l in jax.tree.leaves(state_z.opt_state)
        if np.ndim(l) == 4 and l.shape[-1] % 8 == 0]
 assert not mu2[0].sharding.is_fully_replicated
+
+# --zero x --steps-per-dispatch: the scanned K=2 program must match two
+# sequential zero dispatches AND keep the moment carry sharded (the
+# constraint sits inside the scan body).
+sh2 = NamedSharding(mesh, P(None, "data"))
+stacked = {k: jax.device_put(jnp.stack([jnp.asarray(v)] * 2), sh2)
+           for k, v in batch.items()}
+zstep2 = make_zero_train_step(model, tx, mesh, steps_per_dispatch=2, **kw)
+state_s2 = shard_state_zero(
+    T.init_train_state(model, tx, jax.random.PRNGKey(0), x, 2), mesh)
+state_s2, zm = zstep2(state_s2, stacked)
+for i, ref_m in enumerate((z0, z1)):
+    ra = float(ref_m["loss"]); rb = float(zm["loss"][i])
+    assert abs(ra - rb) / abs(ra) < 1e-4, (i, ra, rb)
+mu3 = [l for l in jax.tree.leaves(state_s2.opt_state)
+       if np.ndim(l) == 4 and l.shape[-1] % 8 == 0]
+assert not mu3[0].sharding.is_fully_replicated
 print("ZERO_MATCH", float(m1["loss"]), float(z1["loss"]), err)
 """
     r = _run_in_mesh_env(code, timeout=1800)

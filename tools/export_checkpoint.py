@@ -60,7 +60,14 @@ def main() -> None:
     from npp_tpu.config import load_config
 
     cfg = load_config(args.cfg)
-    tree = ocp.PyTreeCheckpointer().restore(args.ckpt)
+    # CheckpointManager epoch saves nest the pytree one level down
+    # (<epoch>/default/); named mirrors (best/warmed/final) and the
+    # convert CLI's output are flat.
+    ckpt_dir = args.ckpt
+    nested = os.path.join(ckpt_dir, "default")
+    if os.path.isdir(nested):
+        ckpt_dir = nested
+    tree = ocp.PyTreeCheckpointer().restore(ckpt_dir)
     variables = extract_variables(tree)
 
     if args.search:

@@ -125,10 +125,10 @@ def main():
     state = S.init_search_state(model, w_tx, a_tx, jax.random.PRNGKey(0),
                                 sample, num_stages)
     if args.zero:
-        from npp_tpu.parallel.zero import shard_state_zero
+        from npp_tpu.parallel.zero import (SEARCH_OPT_FIELDS,
+                                           shard_state_zero)
 
-        state = shard_state_zero(state, mesh,
-                                 fields=("w_opt_state", "a_opt_state"))
+        state = shard_state_zero(state, mesh, fields=SEARCH_OPT_FIELDS)
     else:
         state = replicate(state, mesh)
     logger.info("search state initialized")
