@@ -70,6 +70,55 @@ def post_process_quarter_offset(coords: jnp.ndarray,
     return coords + offset * inb[..., None].astype(coords.dtype)
 
 
+def post_process_dark(coords: jnp.ndarray,
+                      batch_heatmaps: jnp.ndarray) -> jnp.ndarray:
+    """DARK sub-pixel refinement (Zhang et al., arXiv:1910.06278 §3.1;
+    PAPERS.md): Taylor-expand the LOG heatmap at the argmax and step to
+    the quadratic's stationary point, ``offset = -H^{-1} ∇``.
+
+    For a Gaussian peak the log is exactly quadratic, so this recovers
+    the continuous maximum to numerical precision where the reference's
+    quarter-pixel sign offset (:func:`post_process_quarter_offset`,
+    core/inference.py:56-65) is biased by up to 0.25 px — a strictly
+    better decode the reference does not have (opt-in to preserve
+    metric parity: ``decode_pose_validate(..., dark=True)`` /
+    ``Predictor(dark_decode=True)``).
+
+    ``batch_heatmaps`` should already be smoothed (the validate decode
+    blurs with sigma=3) — DARK's distribution modulation step.
+    """
+    b, h, w, j = batch_heatmaps.shape
+    hm = jnp.log(jnp.maximum(batch_heatmaps, 1e-10)).transpose(0, 3, 1, 2)
+    px = jnp.floor(coords[..., 0] + 0.5).astype(jnp.int32)
+    py = jnp.floor(coords[..., 1] + 0.5).astype(jnp.int32)
+    inb = (px > 0) & (px < w - 1) & (py > 0) & (py < h - 1)
+    pxc = jnp.clip(px, 1, w - 2)
+    pyc = jnp.clip(py, 1, h - 2)
+
+    def gather(dy, dx):
+        bi = jnp.arange(b)[:, None]
+        ji = jnp.arange(j)[None, :]
+        return hm[bi, ji, pyc + dy, pxc + dx]
+
+    c0 = gather(0, 0)
+    dx = 0.5 * (gather(0, 1) - gather(0, -1))
+    dy = 0.5 * (gather(1, 0) - gather(-1, 0))
+    dxx = gather(0, 1) - 2.0 * c0 + gather(0, -1)
+    dyy = gather(1, 0) - 2.0 * c0 + gather(-1, 0)
+    dxy = 0.25 * (gather(1, 1) - gather(1, -1)
+                  - gather(-1, 1) + gather(-1, -1))
+    det = dxx * dyy - dxy * dxy
+    # -H^{-1} @ grad, guarded against a singular/indefinite Hessian.
+    safe = jnp.where(jnp.abs(det) > 1e-12, det, 1.0)
+    ox = -(dyy * dx - dxy * dy) / safe
+    oy = -(dxx * dy - dxy * dx) / safe
+    ok = (inb & (jnp.abs(det) > 1e-12)
+          & (jnp.abs(ox) < 1.0) & (jnp.abs(oy) < 1.0))
+    offset = jnp.stack([ox, oy], axis=-1) * ok[..., None].astype(
+        coords.dtype)
+    return coords + offset
+
+
 @functools.lru_cache(maxsize=None)
 def _gauss_kernel(sigma: float, truncate: float = 4.0) -> np.ndarray:
     """scipy.ndimage 1-D gaussian kernel (normalized, radius=trunc*sigma)."""
@@ -104,14 +153,15 @@ def gaussian_blur(x: jnp.ndarray, sigma: float,
 
 
 @functools.partial(jax.jit, static_argnames=("out_hw", "blur_sigma",
-                                              "flip_idx"))
+                                              "flip_idx", "dark"))
 def decode_pose_validate(pred_pose: jnp.ndarray,
                          flip_pred_pose: jnp.ndarray | None,
                          crop_param: jnp.ndarray,
                          base_scale: jnp.ndarray,
                          out_hw: tuple[int, int] = (384, 384),
                          blur_sigma: float = 3.0,
-                         flip_idx: tuple = FLIPPED_POSEIDX) -> jnp.ndarray:
+                         flip_idx: tuple = FLIPPED_POSEIDX,
+                         dark: bool = False) -> jnp.ndarray:
     """Validate-time pose decode, fully on device (function.py:967-989).
 
     ``pred_pose``: (B, h, w, J) raw heatmaps at model resolution.
@@ -130,6 +180,8 @@ def decode_pose_validate(pred_pose: jnp.ndarray,
         hm = 0.5 * (hm + fl)
     hm = gaussian_blur(hm, blur_sigma)
     preds, maxvals = get_max_preds(hm)
+    if dark:
+        preds = post_process_dark(preds, hm)
     # Inverse map from crop coords to original image coords
     # (function.py:984-985): p_src = (p - store_start + crop_start) / scale.
     cp = crop_param[:, 0, :].astype(jnp.float32)

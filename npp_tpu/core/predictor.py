@@ -26,7 +26,8 @@ class Predictor:
                  flip_test: bool = True,
                  flip_pairs=((14, 15), (16, 17), (18, 19)),
                  blur_sigma: float = 3.0, quantize: str | None = None,
-                 fuse_necks: bool = False, mesh=None):
+                 fuse_necks: bool = False, mesh=None,
+                 dark_decode: bool = False):
         """``quantize="int8"`` serves dense convs as int8 MXU ops with
         dynamic requant (ops/quantize.py) — same fp checkpoint, opt-in
         accuracy/throughput trade. ``fuse_necks=True`` rewrites the model
@@ -41,7 +42,11 @@ class Predictor:
         2-D ``data x space`` mesh additionally shards image height
         (spatial partitioning — per-request latency; crop H and H/4
         must divide n_space). The device batch is padded to a multiple
-        of lcm(8, n_data)."""
+        of lcm(8, n_data).
+
+        ``dark_decode=True`` refines keypoints with DARK sub-pixel
+        decode (``inference.post_process_dark``) — more accurate than
+        the reference's quarter-offset; off by default for parity."""
         if fuse_necks and not getattr(model, "fused_necks", False):
             from npp_tpu.models.augment import fuse_neck_variables
             model = model.clone(fused_necks=True)
@@ -107,7 +112,8 @@ class Predictor:
             fidx = (FLIPPED_POSEIDX if n_j == 16 else FLIPPED_POSEIDX_PPP
                     if n_j == 14 else tuple(range(n_j)))
             kp = decode_pose_validate(pose_hm, fp_hm, crop_params, scales,
-                                      (ch_, cw_), self.blur_sigma, fidx)
+                                      (ch_, cw_), self.blur_sigma, fidx,
+                                      dark=dark_decode)
             return jnp.argmax(par, axis=-1).astype(jnp.uint8), kp
 
         self._fwd = jax.jit(fwd)

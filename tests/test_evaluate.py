@@ -74,6 +74,18 @@ def test_predictor_single_image(tiny_model_bundle):
     assert np.isfinite(out["keypoints"]).all()
     assert out["parsing"].max() < 7
 
+    # DARK sub-pixel decode: same parsing, keypoints within 1 px (the
+    # refinement only shifts peaks sub-pixel; peak scores unchanged).
+    dark = Predictor(model, variables, crop_size=(64, 64),
+                     flip_pairs=((1, 2),), dark_decode=True)(im)
+    assert np.array_equal(dark["parsing"], out["parsing"])
+    # sub-pixel offsets are <1 heatmap px; the inverse crop map divides
+    # by scale (0.64 here), so allow <1/scale in original coords.
+    assert np.abs(dark["keypoints"][:, :2]
+                  - out["keypoints"][:, :2]).max() < 1.6
+    np.testing.assert_allclose(dark["keypoints"][:, 2],
+                               out["keypoints"][:, 2], rtol=1e-6)
+
 
 def test_predictor_batch_padding_is_invisible(tiny_model_bundle):
     """predict_batch pads the device batch to a multiple of 8 (MXU tile

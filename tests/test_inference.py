@@ -95,3 +95,59 @@ def test_flip_parsing_fuse_swaps_and_unflips():
         manual[..., [a, b]] = manual[..., [b, a]]
     manual = manual[:, :, ::-1, :]
     np.testing.assert_allclose(fused, 0.5 * (x + manual), atol=1e-6)
+
+
+def test_dark_decode_recovers_subpixel_center():
+    """DARK refinement (arXiv:1910.06278) on a Gaussian peak: the log
+    heatmap is quadratic, so -H^{-1}grad recovers the continuous center
+    to ~1e-2 px where plain argmax errs by up to 0.5 px and the
+    reference quarter-offset by up to 0.25 px."""
+    import jax.numpy as jnp
+
+    from npp_tpu.core.inference import (gaussian_blur, get_max_preds,
+                                        post_process_dark,
+                                        post_process_quarter_offset)
+
+    h, w, sigma = 48, 64, 2.0
+    centers = np.array([[17.35, 11.62], [40.71, 30.28]])  # (x, y)
+    yy, xx = np.mgrid[0:h, 0:w]
+    hm = np.stack([np.exp(-((xx - cx) ** 2 + (yy - cy) ** 2)
+                          / (2 * sigma ** 2)) for cx, cy in centers],
+                  axis=-1)[None].astype(np.float32)
+    hm = gaussian_blur(jnp.asarray(hm), 3.0)
+
+    coords, _ = get_max_preds(hm)
+    dark = np.asarray(post_process_dark(coords, hm))[0]
+    quarter = np.asarray(post_process_quarter_offset(coords, hm))[0]
+    base = np.asarray(coords)[0]
+
+    err_dark = np.abs(dark - centers).max()
+    err_quarter = np.abs(quarter - centers).max()
+    err_base = np.abs(base - centers).max()
+    assert err_dark < 0.03, (err_dark, dark, centers)
+    assert err_dark < err_quarter < err_base + 1e-6, (
+        err_dark, err_quarter, err_base)
+
+
+def test_decode_pose_validate_dark():
+    """decode_pose_validate(dark=True) pipes the refinement through the
+    full decode (resize + blur + inverse crop map) and stays within a
+    pixel of the non-dark decode (same peaks, sub-pixel shift only)."""
+    import jax.numpy as jnp
+
+    from npp_tpu.core.inference import decode_pose_validate
+
+    rng = np.random.default_rng(3)
+    hm = rng.random((2, 24, 24, 16)).astype(np.float32)
+    crop = np.zeros((2, 1, 8), np.float32)
+    scale = np.ones((2,), np.float32)
+    kw = dict(out_hw=(96, 96), blur_sigma=3.0)
+    a = np.asarray(decode_pose_validate(jnp.asarray(hm), None,
+                                        jnp.asarray(crop),
+                                        jnp.asarray(scale), **kw))
+    b = np.asarray(decode_pose_validate(jnp.asarray(hm), None,
+                                        jnp.asarray(crop),
+                                        jnp.asarray(scale), dark=True,
+                                        **kw))
+    assert np.abs(a[..., :2] - b[..., :2]).max() < 1.0
+    np.testing.assert_allclose(a[..., 2], b[..., 2])  # scores unchanged

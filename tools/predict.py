@@ -59,6 +59,10 @@ def main():
                    help="serve through the fused-neck graph (exact)")
     p.add_argument("--no-flip", action="store_true",
                    help="disable flip TTA")
+    p.add_argument("--dark", action="store_true",
+                   help="DARK sub-pixel keypoint decode "
+                        "(arXiv:1910.06278; more accurate than the "
+                        "reference quarter-offset)")
     p.add_argument("--synthetic", type=int, default=0, metavar="N",
                    help="predict N random images instead of --images")
     p.add_argument("--tiny", action="store_true")
@@ -77,7 +81,7 @@ def main():
     pred = Predictor(model, variables, crop_size=size,
                      flip_test=not args.no_flip,
                      quantize="int8" if args.int8 else None,
-                     fuse_necks=args.fuse_necks)
+                     fuse_necks=args.fuse_necks, dark_decode=args.dark)
 
     if args.synthetic:
         rng = np.random.default_rng(0)
