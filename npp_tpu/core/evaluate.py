@@ -34,13 +34,16 @@ def make_eval_step_body(model, *, num_classes: int, class_weights,
                         pose_flip_idx=None,
                         decode_hw: tuple[int, int] = (384, 384),
                         blur_sigma: float = 3.0,
-                        quantize: str | None = None):
+                        quantize: str | None = None,
+                        dark: bool = False):
     """The pure (unjitted) eval-step function — composable into a scanned
     whole-epoch program (make_eval_epoch) or jitted per batch
     (make_eval_step).
 
     ``quantize="int8"`` serves the forwards with int8 dense convs
     (ops/quantize.py); losses/decode/metrics stay fp32.
+    ``dark=True`` refines keypoints with DARK sub-pixel decode
+    (inference.post_process_dark; off by default for decode parity).
 
     fn(params, batch_stats, batch) ->
       {loss, loss_pose, loss_par, cm, pose_pred (B,J,3), par_pred (B,H,W)}.
@@ -89,7 +92,8 @@ def make_eval_step_body(model, *, num_classes: int, class_weights,
                                  else tuple(range(n_j)))
         pose_pred = decode_pose_validate(pose_hm, flip_hm,
                                          batch["crop_param"], batch["scale"],
-                                         decode_hw, blur_sigma, fidx)
+                                         decode_hw, blur_sigma, fidx,
+                                         dark=dark)
         return {"loss": loss, "loss_pose": losses_pose,
                 "loss_par": losses_par, "cm": cm, "pose_pred": pose_pred,
                 "par_pred": par_pred}
