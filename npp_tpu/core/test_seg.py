@@ -36,9 +36,10 @@ def make_parsing_apply_fn(model):
 
 def testval(apply_fn, params, loader, *, num_classes: int,
             scales=(0.5, 0.75, 1.0, 1.25, 1.5), flip: bool = True,
-            crop_size=(384, 384), ignore: int = 255) -> dict:
+            crop_size=(384, 384), ignore: int = 255, mesh=None) -> dict:
     """Multi-scale seg eval over a loader of single-image batches
-    (function.py:1339-1397)."""
+    (function.py:1339-1397). ``mesh`` shards each image's tile batch
+    over the ``data`` axis (multi-chip multi-scale, SCALING.md)."""
     cm = np.zeros((num_classes, num_classes), np.float64)
     for batch in loader:
         image = np.asarray(batch["image"])
@@ -47,7 +48,7 @@ def testval(apply_fn, params, loader, *, num_classes: int,
         pred = multi_scale_inference(apply_fn, image, params=params,
                                      num_classes=num_classes,
                                      crop_size=crop_size, scales=scales,
-                                     flip=flip)
+                                     flip=flip, mesh=mesh)
         pred_labels = np.argmax(pred, axis=-1).astype(np.int32)
         cm += np.asarray(M.confusion_matrix(jnp.asarray(label),
                                             jnp.asarray(pred_labels),
@@ -57,7 +58,7 @@ def testval(apply_fn, params, loader, *, num_classes: int,
 
 def test(apply_fn, params, loader, out_dir: str, *, num_classes: int,
          scales=(1.0,), flip: bool = False,
-         crop_size=(384, 384)) -> list[str]:
+         crop_size=(384, 384), mesh=None) -> list[str]:
     """Inference-only export of palette PNGs (function.py:1399-1461)."""
     os.makedirs(out_dir, exist_ok=True)
     paths = []
@@ -67,7 +68,7 @@ def test(apply_fn, params, loader, out_dir: str, *, num_classes: int,
         pred = multi_scale_inference(apply_fn, image, params=params,
                                      num_classes=num_classes,
                                      crop_size=crop_size, scales=scales,
-                                     flip=flip)
+                                     flip=flip, mesh=mesh)
         labels = np.argmax(pred, axis=-1).astype(np.uint8)
         for i, name in enumerate(names):
             path = os.path.join(out_dir, f"{name}.png")

@@ -31,6 +31,9 @@ def main():
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--limit", type=int, default=0)
+    p.add_argument("--mesh", action="store_true",
+                   help="shard each image's multi-scale tile batch over "
+                        "all devices (data axis; SCALING.md)")
     args = p.parse_args()
 
     from npp_tpu.core import test_seg
@@ -55,13 +58,19 @@ def main():
 
     apply_fn = test_seg.make_parsing_apply_fn(model)
     scales = cfg.test.scale_list if not args.tiny else (0.5, 1.0)
+    mesh = None
+    if args.mesh:
+        from npp_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
     if args.mode == "testval":
         metrics = test_seg.testval(apply_fn, variables, loader,
                                    num_classes=cfg.dataset.num_classes,
                                    scales=scales,
                                    flip=cfg.test.flip_test,
                                    crop_size=(size[1], size[0]),
-                                   ignore=cfg.train.ignore_label)
+                                   ignore=cfg.train.ignore_label,
+                                   mesh=mesh)
         print(f"pixel_acc {metrics['pixel_acc']:.4f} "
               f"mean_acc {metrics['mean_acc']:.4f} "
               f"mIoU {metrics['mean_iou']:.4f} fwIoU {metrics['fw_iou']:.4f}")
@@ -69,7 +78,7 @@ def main():
         paths = test_seg.test(apply_fn, variables, loader, args.out,
                               num_classes=cfg.dataset.num_classes,
                               scales=(1.0,), flip=cfg.test.flip_test,
-                              crop_size=(size[1], size[0]))
+                              crop_size=(size[1], size[0]), mesh=mesh)
         print(f"wrote {len(paths)} parsing PNGs to {args.out}")
 
 
