@@ -98,6 +98,48 @@ def constrain_state_zero(state, mesh: Mesh, axis_name: str = DATA_AXIS,
                       fields)
 
 
+def hybrid_zero_spec(x, n_data: int, n_model: int,
+                     data_axis: str = DATA_AXIS,
+                     model_axis: str = "model") -> P:
+    """PartitionSpec sharding a moment leaf over BOTH mesh axes (the
+    FSDP x TP pattern): conv-kernel moments keep their output-channel
+    dim on ``model`` (matching ``tensor.tp_spec`` so they live beside
+    the identically-sharded params) and additionally shard the input-
+    channel dim over ``data`` (the ZeRO-1 saving). Depthwise kernels
+    (I == 1) and non-divisible dims fall back per-dim; vectors follow
+    ``tp_spec``; anything else replicates."""
+    shape = np.shape(x)
+    if len(shape) == 4:
+        spec = [None, None, None, None]
+        if shape[3] % n_model == 0 and shape[3] >= n_model:
+            spec[3] = model_axis
+        if shape[2] % n_data == 0 and shape[2] >= n_data:
+            spec[2] = data_axis
+        return P(*spec)
+    if len(shape) == 1 and shape[0] % n_model == 0 and shape[0] >= n_model:
+        return P(model_axis)
+    if len(shape) == 1 and shape[0] % n_data == 0 and shape[0] >= n_data:
+        return P(data_axis)
+    return P()
+
+
+def shard_opt_state_hybrid(state, mesh: Mesh, data_axis: str = DATA_AXIS,
+                           model_axis: str = "model", fields=OPT_FIELDS):
+    """Re-place a tp-sharded state's optimizer moments with the hybrid
+    ZeRO x TP layout (:func:`hybrid_zero_spec`); other fields keep their
+    current placement (use after ``tensor.shard_tree_tp``)."""
+    n_data = int(mesh.shape[data_axis])
+    n_model = int(mesh.shape[model_axis])
+
+    def moment(x):
+        return jax.device_put(x, NamedSharding(
+            mesh, hybrid_zero_spec(x, n_data, n_model, data_axis,
+                                   model_axis)))
+
+    news = {f: jax.tree.map(moment, getattr(state, f)) for f in fields}
+    return state.replace(**news)
+
+
 def make_zero_train_step(model, tx, mesh: Mesh, *, donate: bool = True,
                          steps_per_dispatch: int = 1,
                          axis_name: str = DATA_AXIS, **loss_kw):
