@@ -152,4 +152,14 @@ def multi_scale_inference(apply_fn, image: np.ndarray, *, num_classes: int,
     run = _build_ms_program(apply_fn, params is not None, oh, ow,
                             num_classes, ch, cw, tuple(scales), bool(flip),
                             pv_key, mesh)
+    if mesh is not None and params is not None:
+        # Checkpoint-restored arrays arrive COMMITTED to one device
+        # (orbax SingleDeviceSharding); the program's tile-batch
+        # sharding constraint spans the mesh, and jit refuses committed
+        # args on incompatible devices. Replicate explicitly (same fix
+        # as Predictor(mesh=...)).
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        params = jax.device_put(params, NamedSharding(mesh,
+                                                      PartitionSpec()))
     return np.asarray(run(params, jnp.asarray(image)))

@@ -136,8 +136,7 @@ def shard_opt_state_hybrid(state, mesh: Mesh, data_axis: str = DATA_AXIS,
             mesh, hybrid_zero_spec(x, n_data, n_model, data_axis,
                                    model_axis)))
 
-    news = {f: jax.tree.map(moment, getattr(state, f)) for f in fields}
-    return state.replace(**news)
+    return _map_state(state, moment, lambda x: x, fields)
 
 
 def make_zero_train_step(model, tx, mesh: Mesh, *, donate: bool = True,

@@ -164,11 +164,18 @@ w = jnp.asarray(rng.standard_normal((3, c)).astype(np.float32))
 def apply_fn(params, tiles):
     return jnp.einsum("bhwc,cd->bhwd", tiles, params)
 
-kw = dict(num_classes=c, params=w, crop_size=(64, 64),
-          scales=(0.5, 1.0), flip=True)
-a = multi_scale_inference(apply_fn, img, **kw)
-b = multi_scale_inference(apply_fn, img, mesh=make_mesh(), **kw)
+kw = dict(num_classes=c, crop_size=(64, 64), scales=(0.5, 1.0), flip=True)
+a = multi_scale_inference(apply_fn, img, params=w, **kw)
+b = multi_scale_inference(apply_fn, img, params=w, mesh=make_mesh(), **kw)
 np.testing.assert_allclose(b, a, rtol=0, atol=1e-4)
+
+# Checkpoint-restored params arrive COMMITTED to a single device
+# (orbax); the mesh path must replicate them rather than crash with
+# "incompatible devices" (tools/test_lip.py --ckpt --mesh).
+import jax
+w0 = jax.device_put(w, jax.devices()[0])
+c2 = multi_scale_inference(apply_fn, img, params=w0, mesh=make_mesh(), **kw)
+np.testing.assert_allclose(c2, a, rtol=0, atol=1e-4)
 print("MS_MESH_OK")
 """
     r = _run_in_mesh_env(code, timeout=1800)
