@@ -11,7 +11,10 @@ import sys
 import pytest
 
 
-def _run_in_mesh_env(code: str, n_devices: int = 8, timeout: int = 1800):
+def _run_in_mesh_env(code: str, n_devices: int = 8, timeout: int = 2700):
+    # Generous timeout: 8 virtual devices share this 1-core host, and a
+    # concurrent compile elsewhere can triple a test's wall time (the
+    # flake mode is timeout-under-load, not wrong results).
     env = dict(os.environ)
     env["JAX_PLATFORM_NAME"] = "cpu"
     env["XLA_FLAGS"] = (f"--xla_force_host_platform_device_count={n_devices}"
