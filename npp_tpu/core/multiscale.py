@@ -24,16 +24,24 @@ from npp_tpu.ops.resize import resize_bilinear
 
 
 def _tile_origins(length: int, crop: int, stride: int) -> list[int]:
+    """Window origins at stride steps, reference clip-tail semantics:
+    the last window starts at ``(rows-1)*stride`` and is CLIPPED at the
+    image edge (base_dataset.py:219-231 ``h1 = min(h0 + crop, new_h)``),
+    not shifted back to fit. The clipped remainder is padded with the
+    pad pixel for the forward and excluded from the accumulation (the
+    program realizes this by extending the canvas to ``origin + crop``
+    and cropping the valid region afterwards)."""
     if length <= crop:
         return [0]
     n = int(np.ceil((length - crop) / stride)) + 1
-    return [min(i * stride, length - crop) for i in range(n)]
+    return [i * stride for i in range(n)]
 
 
 @functools.lru_cache(maxsize=32)
 def _build_ms_program(apply_fn, takes_params: bool, oh: int, ow: int,
                       num_classes: int, ch: int, cw: int, scales: tuple,
-                      flip: bool, pad_value_key, mesh=None):
+                      flip: bool, pad_value_key, mesh=None,
+                      base_size: int | None = None):
     """Compile one program covering every scale of an (oh, ow) image.
 
     ``apply_fn`` must be hashable (plain functions and jitted callables
@@ -47,7 +55,7 @@ def _build_ms_program(apply_fn, takes_params: bool, oh: int, ow: int,
     geo = []
     total = 0
     for scale in scales:
-        long_size = int(max(oh, ow) * scale + 0.5)
+        long_size = int((base_size or max(oh, ow)) * scale + 0.5)
         if oh > ow:
             nh, nw = long_size, int(ow * long_size / oh + 0.5)
         else:
@@ -55,11 +63,16 @@ def _build_ms_program(apply_fn, takes_params: bool, oh: int, ow: int,
         sh, sw = max(nh, ch), max(nw, cw)
         ys = _tile_origins(sh, ch, stride_h)
         xs = _tile_origins(sw, cw, stride_w)
-        count = np.zeros((sh, sw, 1), np.float32)
+        # Extended canvas: clipped tail windows run past the (padded)
+        # image edge; accumulating full windows into the extension and
+        # cropping to [:nh, :nw] afterwards reproduces the reference's
+        # valid-region-only adds (base_dataset.py:229-231) exactly.
+        eh, ew = ys[-1] + ch, xs[-1] + cw
+        count = np.zeros((eh, ew, 1), np.float32)
         for y in ys:
             for x in xs:
                 count[y:y + ch, x:x + cw] += 1.0
-        geo.append((nh, nw, sh, sw, ys, xs, 1.0 / count))
+        geo.append((nh, nw, eh, ew, ys, xs, 1.0 / count))
         total += len(ys) * len(xs)
 
     n_fwd = 2 * total if flip else total
@@ -73,9 +86,9 @@ def _build_ms_program(apply_fn, takes_params: bool, oh: int, ow: int,
 
     def run(params, image):
         tiles_all = []
-        for nh, nw, sh, sw, ys, xs, _ in geo:
+        for nh, nw, eh, ew, ys, xs, _ in geo:
             scaled = resize_bilinear(image, (nh, nw), align_corners=False)
-            ph, pw = sh - nh, sw - nw
+            ph, pw = eh - nh, ew - nw
             if ph or pw:
                 scaled = jnp.pad(scaled,
                                  ((0, 0), (0, ph), (0, pw), (0, 0)),
@@ -108,8 +121,8 @@ def _build_ms_program(apply_fn, takes_params: bool, oh: int, ow: int,
         probs = jnp.exp(logits)
         final = jnp.zeros((1, oh, ow, num_classes), jnp.float32)
         k = 0
-        for nh, nw, sh, sw, ys, xs, inv_count in geo:
-            preds = jnp.zeros((sh, sw, num_classes), jnp.float32)
+        for nh, nw, eh, ew, ys, xs, inv_count in geo:
+            preds = jnp.zeros((eh, ew, num_classes), jnp.float32)
             for y in ys:
                 for x in xs:
                     preds = preds.at[y:y + ch, x:x + cw].add(probs[k])
@@ -127,9 +140,17 @@ def multi_scale_inference(apply_fn, image: np.ndarray, *, num_classes: int,
                           scales=(0.5, 0.75, 1.0, 1.25, 1.5),
                           flip: bool = True,
                           pad_value: np.ndarray | float = 0.0,
-                          mesh=None) -> np.ndarray:
+                          mesh=None, base_size: int | None = None
+                          ) -> np.ndarray:
     """``image``: (1, H, W, 3) normalized. Returns (1, H, W, C) summed
-    exp-logits across scales (base_dataset.py:241-244 semantics).
+    exp-logits across scales (base_dataset.py:241-244 semantics,
+    including the clipped tail windows of the reference's sliding grid —
+    oracle-tested against ``BaseDataset.multi_scale_inference`` in
+    tests/test_reference_parity_eval.py).
+
+    ``base_size``: the long-side size that ``scales`` multiply
+    (base_dataset.py:118 ``self.base_size``); default None uses the
+    image's own long side (scale 1.0 == native resolution).
 
     ``apply_fn(tiles) -> logits`` at tile resolution — or, when ``params``
     is given, ``apply_fn(params, tiles)``. PASS MODEL WEIGHTS VIA
@@ -151,7 +172,7 @@ def multi_scale_inference(apply_fn, image: np.ndarray, *, num_classes: int,
                          .tolist()))
     run = _build_ms_program(apply_fn, params is not None, oh, ow,
                             num_classes, ch, cw, tuple(scales), bool(flip),
-                            pv_key, mesh)
+                            pv_key, mesh, base_size)
     if mesh is not None and params is not None:
         # Checkpoint-restored arrays arrive COMMITTED to one device
         # (orbax SingleDeviceSharding); the program's tile-batch

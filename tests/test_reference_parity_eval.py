@@ -266,3 +266,78 @@ def test_composed_int8_eval_envelope(eval_pair):
         p.ours_q["mean_iou"], p.ours["mean_iou"])
     assert abs(p.ours_q["pck_avg"] - p.ours["pck_avg"]) < 15.0, (
         p.ours_q["pck_avg"], p.ours["pck_avg"])
+
+
+def test_multi_scale_inference_oracle(monkeypatch):
+    """Composed multi-scale sliding-window parity: our one-program
+    ``multi_scale_inference`` vs the reference
+    ``BaseDataset.multi_scale_inference`` (dataset/base_dataset.py:182-244)
+    on a shared linear stub model.
+
+    Covers: per-scale long-side resize rounding, the small-image single
+    window branch (scale 0.5 here), the tiled branch with CLIPPED tail
+    windows (h1 = min(h0+crop, new_h)) and pad-pixel fill, flip-TTA
+    logit averaging, the output->window bilinear upsample before exp,
+    count normalization, and the cross-scale exp-logit sum. The
+    reference class is bit-rotted (never subclassed; hard-codes CUDA
+    devices), so the test patches torch.device / .cuda to run it on CPU.
+    """
+    import torch.nn as tnn
+    from dataset.base_dataset import BaseDataset
+
+    from npp_tpu.core.multiscale import multi_scale_inference
+    from npp_tpu.ops.resize import resize_bilinear
+
+    rng = np.random.default_rng(7)
+    C = 5
+    oh, ow = 61, 45           # odd sizes: rounding + clipped tails
+    ch, cw = 32, 32
+    scales = (0.5, 1.0, 1.3)
+    mean = [0.485, 0.456, 0.406]
+    std = [0.229, 0.224, 0.225]
+
+    w = (rng.standard_normal((C, 3, 3, 3)) * 0.1).astype(np.float32)
+    b = (rng.standard_normal((C,)) * 0.1).astype(np.float32)
+    img = rng.standard_normal((1, oh, ow, 3)).astype(np.float32)
+
+    class Stub(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv = tnn.Conv2d(3, C, 3, stride=2, padding=1)
+            with torch.no_grad():
+                self.conv.weight.copy_(torch.from_numpy(w))
+                self.conv.bias.copy_(torch.from_numpy(b))
+            self.device_ids = [0]  # read by base_dataset.py:186
+
+        def forward(self, x):
+            return self.conv(x)
+
+    monkeypatch.setattr(torch, "device", lambda *a, **k: "cpu")
+    ds = BaseDataset(base_size=max(oh, ow), crop_size=(ch, cw),
+                     mean=mean, std=std)
+    ds.num_classes = C  # normally set by a (nonexistent) subclass
+    t_img = torch.from_numpy(np.ascontiguousarray(
+        img.transpose(0, 3, 1, 2)))
+    with torch.no_grad():
+        ref = ds.multi_scale_inference(Stub(), t_img, scales=list(scales),
+                                       flip=True)
+    ref = ref.numpy().transpose(0, 2, 3, 1)
+
+    jw = jnp.asarray(w.transpose(2, 3, 1, 0))  # OIHW -> HWIO
+    jb = jnp.asarray(b)
+
+    def apply_fn(params, tiles):
+        kw, kb = params
+        y = jax.lax.conv_general_dilated(
+            tiles, kw, window_strides=(2, 2), padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + kb
+        # the reference upsamples each window's logits back to window
+        # size before exp (base_dataset.py:167-169)
+        return resize_bilinear(y, (ch, cw), align_corners=False)
+
+    ours = multi_scale_inference(
+        apply_fn, img, num_classes=C, params=(jw, jb),
+        crop_size=(ch, cw), scales=scales, flip=True,
+        pad_value=-np.array(mean, np.float32) / np.array(std, np.float32))
+
+    np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-4)
