@@ -106,6 +106,21 @@ def make_eval_step(model, **kw):
     return jax.jit(make_eval_step_body(model, **kw))
 
 
+class _EvalEpoch:
+    """Callable epoch program plus a per-batch ``step`` for tail batches.
+
+    ``__call__`` runs the one-dispatch scanned epoch; ``step`` is the same
+    eval-step body jitted standalone, used by ``validate_scanned`` to score
+    a short tail batch exactly (its own compile at the tail shape)."""
+
+    def __init__(self, epoch_fn, step_fn):
+        self._epoch_fn = epoch_fn
+        self.step = step_fn
+
+    def __call__(self, params, batch_stats, batches):
+        return self._epoch_fn(params, batch_stats, batches)
+
+
 def make_eval_epoch(model, **kw):
     """Whole-epoch eval as ONE jitted program: lax.scan of the eval step
     over stacked batches.
@@ -118,7 +133,9 @@ def make_eval_epoch(model, **kw):
 
     fn(params, batch_stats, batches) where each leaf of ``batches`` has a
     leading batch-count axis -> {cm (C,C) summed, loss (N,), pose_pred
-    (N,B,J,3), par_pred (N,B,H,W)}.
+    (N,B,J,3), par_pred (N,B,H,W)}. The returned object also carries
+    ``.step`` (the per-batch jitted body) so ``validate_scanned`` can score
+    a non-divisible dataset's tail batch exactly.
     """
     body = make_eval_step_body(model, **kw)
 
@@ -135,36 +152,48 @@ def make_eval_epoch(model, **kw):
                               batches)
         return {"cm": cm, **ys}
 
-    return epoch
+    return _EvalEpoch(epoch, jax.jit(body))
 
 
 def stack_batches(batches: list[dict]):
     """Stack same-shape batch dicts along a new leading axis.
 
-    Requires shape-uniform batches: build the loader with
-    ``drop_last=True`` (its default) so a short tail batch is excluded —
-    with ``drop_last=False`` on a non-divisible dataset the tail batch
-    would fail the uniformity check below (and its samples are simply not
-    scorable by the scanned path; use ``validate`` for exact tails).
+    A short TAIL batch (``drop_last=False`` on a non-divisible dataset) is
+    split off and returned separately rather than padded: padding cannot be
+    made bit-exact because the OHEM parsing loss's ``min_kept`` top-k is a
+    whole-batch quantity (core/criterion.py) — padded pixels would change
+    which hard examples are kept. ``validate_scanned`` scores the tail with
+    its own jitted step instead (exact, one extra compile at the tail
+    shape). Reference behavior for comparison: core/function.py:873-1081
+    evaluates every sample.
 
-    Returns (stacked_dict, names, dataset_indices) — arrays stay on
-    device; names/indices are host-side."""
+    Returns (stacked_dict, names, dataset_indices, tail_batch) — arrays
+    stay on device; names/indices are host-side (tail samples' names come
+    last, matching per-batch loader order); ``tail_batch`` is None when all
+    batches are shape-uniform."""
     keys = [k for k in batches[0] if k not in ("names", "index")]
+    tail = None
+    lead = {k: max(tuple(b[k].shape)[0] for b in batches) for k in keys}
+    last = batches[-1]
+    if any(tuple(last[k].shape)[0] != lead[k] for k in keys):
+        tail = last
+        batches = batches[:-1]
     for k in keys:
         shapes = {tuple(b[k].shape) for b in batches}
         if len(shapes) > 1:
             raise ValueError(
-                f"stack_batches needs shape-uniform batches; key {k!r} has "
-                f"shapes {sorted(shapes)} — use drop_last=True or pad the "
-                f"tail batch")
-    out = {k: jnp.stack([b[k] for b in batches]) for k in keys}
+                f"stack_batches needs shape-uniform batches (apart from one "
+                f"short tail batch at the end); key {k!r} has shapes "
+                f"{sorted(shapes)}")
+    out = ({k: jnp.stack([b[k] for b in batches]) for k in keys}
+           if batches else None)
     names = []
     idxs = []
-    for b in batches:
+    for b in batches + ([tail] if tail is not None else []):
         names.extend(b.get("names", []))
         if b.get("index") is not None:
             idxs.append(np.asarray(b["index"]))
-    return out, names, (np.concatenate(idxs) if idxs else None)
+    return out, names, (np.concatenate(idxs) if idxs else None), tail
 
 
 def merge_eval_shards(preds: np.ndarray, idxs: np.ndarray,
@@ -290,14 +319,42 @@ def validate_scanned(eval_epoch, params, batch_stats, loader, *,
     dispatch, then the confusion matrix / losses / predictions are merged
     over DCN with ``process_allgather`` and reordered by dataset index —
     same merge as ``validate`` (exercised by tests/test_multiprocess.py);
-    every process returns the same result."""
+    every process returns the same result.
+
+    A non-divisible dataset's short tail batch (``drop_last=False``) is
+    scored exactly through a separate per-batch step (``eval_epoch.step``,
+    provided by ``make_eval_epoch``) rather than padded — see
+    ``stack_batches`` for why padding cannot be bit-exact under OHEM."""
     batches = list(loader)
-    stacked, names, idxs = stack_batches(batches)
-    out = eval_epoch(params, batch_stats, stacked)
-    cm = np.asarray(out["cm"], np.float64)
-    losses = np.asarray(out["loss"], np.float64)
-    preds = np.asarray(out["pose_pred"])
-    preds = preds.reshape((-1,) + preds.shape[2:])
+    stacked, names, idxs, tail = stack_batches(batches)
+    if tail is not None and getattr(eval_epoch, "step", None) is None:
+        raise ValueError(
+            "loader yielded a short tail batch but eval_epoch has no .step "
+            "— build it with make_eval_epoch (or use drop_last=True)")
+    if stacked is not None:
+        out = eval_epoch(params, batch_stats, stacked)
+        cm = np.asarray(out["cm"], np.float64)
+        losses = np.asarray(out["loss"], np.float64)
+        preds = np.asarray(out["pose_pred"])
+        preds = preds.reshape((-1,) + preds.shape[2:])
+    else:
+        n_cls = num_classes
+        cm = np.zeros((n_cls, n_cls), np.float64)
+        losses = np.zeros((0,), np.float64)
+        preds = None
+    if tail is not None:
+        tail_in = {k: v for k, v in tail.items()
+                   if k not in ("names", "index")}
+        n_tail = tail_in["image"].shape[0]
+        log_fn(f"validate_scanned: short tail batch of {n_tail} sample(s) "
+               f"scored in a separate exact step (not padded/dropped)")
+        tout = eval_epoch.step(params, batch_stats, tail_in)
+        cm = cm + np.asarray(tout["cm"], np.float64)
+        losses = np.concatenate(
+            [losses, [np.asarray(tout["loss"], np.float64)]])
+        tpred = np.asarray(tout["pose_pred"])
+        preds = (tpred if preds is None
+                 else np.concatenate([preds, tpred], axis=0))
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils as mh
 

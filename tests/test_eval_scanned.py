@@ -44,3 +44,46 @@ def test_scanned_matches_per_batch(tiny_model_bundle):
     close = np.isclose(r1["pose_preds"], r2["pose_preds"], atol=0.51)
     assert close.mean() > 0.85, close.mean()
     assert r1["names"] == r2["names"]
+
+
+def test_scanned_exact_on_non_divisible_dataset(tiny_model_bundle):
+    """drop_last=False on a non-divisible dataset: the scanned path must
+    score EVERY sample (VERDICT r3 item 3). The tail batch goes through a
+    separate per-batch step (same body, own compile) and is bit-identical
+    to what validate's per-batch step produces."""
+    model, variables, _ = tiny_model_bundle
+    params = {"model": variables["params"],
+              "criterion": T.init_criterion_params(2)}
+    ds = SyntheticDataset(length=9, crop_size=(64, 64), num_joints=14,
+                          num_classes=7, is_train=False)
+    renderer = make_target_renderer(stride=4, sigma=3, num_joints=14)
+    loader = DataLoader(ds, 2, shuffle=False, num_workers=1,
+                        renderer=renderer, drop_last=False)
+    kw = dict(num_classes=7, class_weights=PASCAL_CLASS_WEIGHTS,
+              flip_test=True, flip_pairs=(), decode_hw=(64, 64))
+    step = E.make_eval_step(model, **kw)
+    epoch = E.make_eval_epoch(model, **kw)
+
+    r1 = E.validate(step, params, variables["batch_stats"], loader,
+                    num_classes=7, log_fn=lambda s: None)
+    logs = []
+    r2 = E.validate_scanned(epoch, params, variables["batch_stats"], loader,
+                            num_classes=7, log_fn=logs.append)
+
+    # All 9 samples are scored — nothing silently dropped.
+    assert len(r2["names"]) == 9 and r2["pose_preds"].shape[0] == 9
+    assert r1["names"] == r2["names"]
+    assert any("tail batch" in s for s in logs)
+    assert r1["loss"] == pytest.approx(r2["loss"], rel=5e-4)
+    assert r1["mean_iou"] == pytest.approx(r2["mean_iou"], rel=0.05)
+
+    # The tail sample itself is BIT-exact: both paths run the identical
+    # step body jitted at the tail shape (no pad, no mask).
+    tail = [b for b in loader][-1]
+    tail_in = {k: v for k, v in tail.items() if k not in ("names", "index")}
+    o1 = step(params, variables["batch_stats"], tail_in)
+    o2 = epoch.step(params, variables["batch_stats"], tail_in)
+    for k in ("loss", "cm", "pose_pred", "par_pred"):
+        np.testing.assert_array_equal(np.asarray(o1[k]), np.asarray(o2[k]))
+    np.testing.assert_array_equal(r1["pose_preds"][-1:],
+                                  r2["pose_preds"][-1:])
