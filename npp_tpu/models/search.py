@@ -102,6 +102,113 @@ class MixedOp(nn.Module):
         return ans
 
 
+class MixedOpCore(nn.Module):
+    """The primitive-mixing core of MixedOp: candidates on the first half
+    of the channels at SOURCE resolution, pool-BNs, alpha-weighted sum.
+    No resize, no passthrough, no proj — those are per-destination tails
+    handled by InjectionGroup. Splitting them out is what makes the core
+    vmappable across (stream, destination) pairs: every injection op
+    reading one source slot shares this exact computation shape."""
+
+    channels: int  # source channel count C (ops run on C // 2)
+    primitives: tuple = gt.PRIMITIVES_INTER
+    dtype: Any = None
+
+    def setup(self):
+        half = self.channels // 2
+        self.ops = [make_op(prim, half, 1, False, self.dtype)
+                    for prim in self.primitives]
+        self.extra_bns = [BatchNorm(False, self.dtype)
+                          for prim in self.primitives if "pool" in prim]
+
+    def __call__(self, xt, weights, train: bool):
+        out = None
+        bn_i = 0
+        for i, prim in enumerate(self.primitives):
+            y = self.ops[i](xt, train)
+            if "pool" in prim:
+                y = self.extra_bns[bn_i](y, train)
+                bn_i += 1
+            term = weights[i] * y
+            out = term if out is None else out + term
+        return out
+
+
+class InjectionGroup(nn.Module):
+    """All OFF-DIAGONAL injection MixedOps reading one source slot,
+    vmapped over (stream, destination) pairs (VERDICT r3 item 4; the
+    reference unrolls each as a separate module,
+    model_search_interact.py:501-556).
+
+    Equivalence to per-edge MixedOps: the bilinear cross-scale resize is
+    linear, so ``resize(sum_p w_p y_p) == sum_p w_p resize(y_p)`` — the
+    alpha-weighted primitive sum runs at source resolution inside one
+    vmapped core (2*D stacked param sets), and the per-destination tail
+    (resize out-half bilinear / pass-half nearest, channel shuffle, 1x1
+    proj) stays unrolled. Betas are applied by the caller, preserving the
+    original accumulation order.
+
+    Stacking order along the vmap axis: [stream1 dests ascending,
+    stream2 dests ascending] — mirrored by
+    utils.torch_convert.convert_injection_layout.
+    """
+
+    channels: int                 # source channel count C
+    up_scales: tuple              # per destination (len D)
+    extras: tuple                 # per destination proj width (len D)
+    dtype: Any = None
+
+    def setup(self):
+        VCore = nn.vmap(MixedOpCore,
+                        variable_axes={"params": 0, "batch_stats": 0},
+                        split_rngs={"params": True},
+                        in_axes=(0, 0, None), out_axes=0)
+        self.core = VCore(self.channels, dtype=self.dtype)
+        # Flat proj list, [stream1 dests..., stream2 dests...] like the
+        # core's stacked axis. Off-diagonal edges always cross scales, so
+        # extras are always set — but tolerate None for generality.
+        self.projs = [Conv(e, (1, 1), use_bias=True, dtype=self.dtype)
+                      if e is not None else None
+                      for _ in range(2) for e in self.extras]
+
+    def __call__(self, x1, x2, weights1, weights2, train: bool):
+        """x1/x2: the source feature as seen by stream-1/stream-2 ops
+        (stream 1 injects FROM the other branch: x1 = features2[j]).
+        weights{s}: (D, n_primitives) alpha rows, dest-ascending.
+        Returns (contribs1, contribs2): per-destination outputs, unscaled
+        by beta."""
+        D = len(self.up_scales)
+        half = self.channels // 2
+        xt1, pass1 = x1[..., :half], x1[..., half:]
+        xt2, pass2 = x2[..., :half], x2[..., half:]
+        stacked_x = jnp.concatenate([
+            jnp.broadcast_to(xt1[None], (D,) + xt1.shape),
+            jnp.broadcast_to(xt2[None], (D,) + xt2.shape)])
+        stacked_w = jnp.concatenate([weights1, weights2])
+        outs = self.core(stacked_x, stacked_w, train)  # (2D, B, H, W, C/2)
+
+        def tail(out, xt2_pass, up, proj):
+            # Exactly MixedOp.__call__'s post-primitive path, with the
+            # (linear) bilinear resize applied once to the weighted sum.
+            if up:
+                h = scale_output_size(out.shape[1], up)
+                w = scale_output_size(out.shape[2], up)
+                if (h, w) != (out.shape[1], out.shape[2]):
+                    out = resize_scale(out, up, align_corners=True)
+                xt2_pass = resize_nearest(xt2_pass, (h, w))
+            if out.shape[1] != xt2_pass.shape[1]:
+                xt2_pass = max_pool(xt2_pass, 2, 2, 0)
+            ans = jnp.concatenate([out, xt2_pass], axis=-1)
+            ans = channel_shuffle(ans, 2)
+            return proj(ans) if proj is not None else ans
+
+        contribs1 = [tail(outs[d], pass1, self.up_scales[d], self.projs[d])
+                     for d in range(D)]
+        contribs2 = [tail(outs[D + d], pass2, self.up_scales[d],
+                          self.projs[D + d]) for d in range(D)]
+        return contribs1, contribs2
+
+
 class SearchFusionCell(nn.Module):
     """Searchable refinement cell (PoseCell/ParCell,
     model_search_interact.py:332-430): 4 steps, step i sums (3+i) MixedOps
@@ -218,7 +325,14 @@ class SearchNet(nn.Module):
     decoder: gt.GenotypeUp2 = gt.DECODER
     remat: bool = True
     vmap_fusion: bool = True
+    vmap_injections: bool = True
     dtype: Any = jnp.bfloat16
+
+    # Off-diagonal decoder-injection destinations for source slot j
+    # (group i injects into slot 4+i; j == 4+i is the diagonal).
+    @staticmethod
+    def _dec_dests(j: int) -> tuple:
+        return tuple(range(3)) if j <= 3 else tuple(range(j - 3, 3))
 
     def setup(self):
         c, d, L = self.init_channels, self.dtype, self.layers
@@ -270,14 +384,37 @@ class SearchNet(nn.Module):
 
         # Searchable encoder-stage injections: group i has (1+i) MixedOps,
         # source j at shallow-first index (model_search_interact.py:501-520).
-        ops1, ops2 = [], []
-        for i in range(4):
-            for j in range(1 + i):
-                up = 1 / 2 ** (i - j)
-                extra = nc[3 - i] if i != j else None
-                ops1.append(RMixed(nc[3 - j], up, extra, dtype=d))
-                ops2.append(RMixed(nc[3 - j], up, extra, dtype=d))
-        self.inj_ops1, self.inj_ops2 = ops1, ops2
+        if self.vmap_injections:
+            # Vmapped layout (VERDICT r3 item 4): per dest group, the
+            # diagonal (source == dest, pre-update input) MixedOps of the
+            # two streams vmap together; per SOURCE slot, all off-diagonal
+            # ops vmap over (stream, destination) in one InjectionGroup —
+            # they share the source's shape exactly.
+            VMixedPair = nn.vmap(
+                MixedOp, variable_axes={"params": 0, "batch_stats": 0},
+                split_rngs={"params": True}, in_axes=(0, 0, None),
+                out_axes=0)
+            if self.remat:
+                RDiag = nn.remat(VMixedPair, static_argnums=(3,))
+                RGroup = nn.remat(InjectionGroup, static_argnums=(5,))
+            else:
+                RDiag, RGroup = VMixedPair, InjectionGroup
+            self.inj_diag = [RDiag(nc[3 - i], 1.0, dtype=d)
+                             for i in range(4)]
+            self.inj_grp = [
+                RGroup(nc[3 - j],
+                       tuple(1 / 2 ** (i - j) for i in range(j + 1, 4)),
+                       tuple(nc[3 - i] for i in range(j + 1, 4)), dtype=d)
+                for j in range(3)]
+        else:
+            ops1, ops2 = [], []
+            for i in range(4):
+                for j in range(1 + i):
+                    up = 1 / 2 ** (i - j)
+                    extra = nc[3 - i] if i != j else None
+                    ops1.append(RMixed(nc[3 - j], up, extra, dtype=d))
+                    ops2.append(RMixed(nc[3 - j], up, extra, dtype=d))
+            self.inj_ops1, self.inj_ops2 = ops1, ops2
 
         # Fixed decoder upsample cells (:522-532).
         self.upsamples1 = [
@@ -293,14 +430,25 @@ class SearchNet(nn.Module):
         # (:534-556).
         resolution = (1, 1 / 2, 1 / 4, 1 / 8, 1 / 4, 1 / 2, 1)
         channels7 = tuple(int(2 * c / r) for r in resolution)
-        uops1, uops2 = [], []
-        for i in range(3):
-            for j in range(5 + i):
-                up = resolution[4 + i] / resolution[j]
-                extra = channels7[4 + i] if (4 + i) != j else None
-                uops1.append(RMixed(channels7[j], up, extra, dtype=d))
-                uops2.append(RMixed(channels7[j], up, extra, dtype=d))
-        self.up_inj_ops1, self.up_inj_ops2 = uops1, uops2
+        if self.vmap_injections:
+            self.up_diag = [RDiag(channels7[4 + i], 1.0, dtype=d)
+                            for i in range(3)]
+            self.up_grp = [
+                RGroup(channels7[j],
+                       tuple(resolution[4 + i] / resolution[j]
+                             for i in self._dec_dests(j)),
+                       tuple(channels7[4 + i] for i in self._dec_dests(j)),
+                       dtype=d)
+                for j in range(6)]
+        else:
+            uops1, uops2 = [], []
+            for i in range(3):
+                for j in range(5 + i):
+                    up = resolution[4 + i] / resolution[j]
+                    extra = channels7[4 + i] if (4 + i) != j else None
+                    uops1.append(RMixed(channels7[j], up, extra, dtype=d))
+                    uops2.append(RMixed(channels7[j], up, extra, dtype=d))
+            self.up_inj_ops1, self.up_inj_ops2 = uops1, uops2
 
         self.pose_layer = _Neck(4 * nc[3], d)
         self.pose_auxlayer = _Neck(3 * nc[3], d)
@@ -361,6 +509,17 @@ class SearchNet(nn.Module):
         softmax = jax.nn.softmax
         features1, features2 = [], []
         offset = 0
+        # Vmapped-injection bookkeeping: pending{s}[j] holds source j's
+        # off-diagonal contributions (dest-ascending), computed once the
+        # source is final (post its own group's update) and consumed at
+        # the later destinations' boundaries. Row-wise softmax of the full
+        # alpha matrices equals the per-group slice softmax.
+        offsets_e = (0, 1, 3, 6)
+        if self.vmap_injections:
+            W1 = softmax(self.alphas1, axis=-1)
+            W2 = softmax(self.alphas2, axis=-1)
+        pending1, pending2 = {}, {}
+        group = 0
         for i in range(self.layers):
             s0, s1 = s1, self.cells1[i](s0, s1, train)
             s2, s3 = s3, self.cells2[i](s2, s3, train)
@@ -368,6 +527,37 @@ class SearchNet(nn.Module):
                 features1.append(s1)
                 features2.append(s3)
                 n = len(features1)
+                if self.vmap_injections:
+                    g = group
+                    b1 = softmax(self.betas1[offset:offset + n], axis=-1)
+                    b2 = softmax(self.betas2[offset:offset + n], axis=-1)
+                    # Diagonal (source g, pre-update), both streams.
+                    douts = self.inj_diag[g](
+                        jnp.stack([features2[g], features1[g]]),
+                        jnp.stack([W1[offset + g], W2[offset + g]]), train)
+                    z1, z2 = None, None
+                    for j in range(n):
+                        c1 = (pending1[j][g - j - 1] if j < g else douts[0])
+                        c2 = (pending2[j][g - j - 1] if j < g else douts[1])
+                        t1, t2 = b1[j] * c1, b2[j] * c2
+                        z1 = t1 if z1 is None else z1 + t1
+                        z2 = t2 if z2 is None else z2 + t2
+                    s1 = s1 + z1
+                    s3 = s3 + z2
+                    features1[-1] = s1
+                    features2[-1] = s3
+                    if g < 3:
+                        # Source g is now final: its contributions to all
+                        # later destinations in one vmapped group.
+                        rows1 = jnp.stack([W1[offsets_e[i2] + g]
+                                           for i2 in range(g + 1, 4)])
+                        rows2 = jnp.stack([W2[offsets_e[i2] + g]
+                                           for i2 in range(g + 1, 4)])
+                        pending1[g], pending2[g] = self.inj_grp[g](
+                            features2[g], features1[g], rows1, rows2, train)
+                    group += 1
+                    offset += n
+                    continue
                 w1 = softmax(self.alphas1[offset:offset + n], axis=-1)
                 b1 = softmax(self.betas1[offset:offset + n], axis=-1)
                 w2 = softmax(self.alphas2[offset:offset + n], axis=-1)
@@ -389,6 +579,18 @@ class SearchNet(nn.Module):
         cont = 0
         out1, out2 = features1[3], features2[3]
         skip_idx = (2, 1, 0)
+        offsets_d = (0, 5, 11)
+        upend1, upend2 = {}, {}
+        if self.vmap_injections:
+            W3 = softmax(self.alphas3, axis=-1)
+            W4 = softmax(self.alphas4, axis=-1)
+            # Encoder features 0..3 are final: their contributions to all
+            # three decoder destinations, one vmapped group per source.
+            for j in range(4):
+                rows1 = jnp.stack([W3[offsets_d[i2] + j] for i2 in range(3)])
+                rows2 = jnp.stack([W4[offsets_d[i2] + j] for i2 in range(3)])
+                upend1[j], upend2[j] = self.up_grp[j](
+                    features2[j], features1[j], rows1, rows2, train)
         for stage in range(3):
             out1 = self.upsamples1[stage](out1, features1[skip_idx[stage]],
                                           train)
@@ -397,6 +599,38 @@ class SearchNet(nn.Module):
             features1.append(out1)
             features2.append(out2)
             n = len(features1)
+            if self.vmap_injections:
+                b1 = softmax(self.betas3[cont:cont + n], axis=-1)
+                b2 = softmax(self.betas4[cont:cont + n], axis=-1)
+                diag = 4 + stage
+                douts = self.up_diag[stage](
+                    jnp.stack([features2[diag], features1[diag]]),
+                    jnp.stack([W3[cont + diag], W4[cont + diag]]), train)
+                z1, z2 = None, None
+                for j in range(n):
+                    if j == diag:
+                        c1, c2 = douts[0], douts[1]
+                    else:
+                        d_idx = stage - (0 if j <= 3 else j - 3)
+                        c1, c2 = upend1[j][d_idx], upend2[j][d_idx]
+                    t1, t2 = b1[j] * c1, b2[j] * c2
+                    z1 = t1 if z1 is None else z1 + t1
+                    z2 = t2 if z2 is None else z2 + t2
+                out1 = out1 + z1
+                out2 = out2 + z2
+                features1[-1] = out1
+                features2[-1] = out2
+                if stage < 2:
+                    j = 4 + stage  # this slot is now final
+                    dests = self._dec_dests(j)
+                    rows1 = jnp.stack([W3[offsets_d[i2] + j]
+                                       for i2 in dests])
+                    rows2 = jnp.stack([W4[offsets_d[i2] + j]
+                                       for i2 in dests])
+                    upend1[j], upend2[j] = self.up_grp[j](
+                        features2[j], features1[j], rows1, rows2, train)
+                cont += n
+                continue
             w1 = softmax(self.alphas3[cont:cont + n], axis=-1)
             b1 = softmax(self.betas3[cont:cont + n], axis=-1)
             w2 = softmax(self.alphas4[cont:cont + n], axis=-1)

@@ -413,6 +413,114 @@ def convert_fusion_layout(tree, to_vmapped: bool, steps: int = 4):
 def fusion_unrolled_to_vmapped(variables: dict, steps: int = 4) -> dict:
     """Migrate SearchNet variables saved in the pre-round-2 unrolled
     fusion layout (or produced by convert_reference_search_state_dict) to
-    the default vmap_fusion=True layout."""
+    the vmap_fusion=True layout."""
     return {coll: convert_fusion_layout(tree, True, steps)
+            for coll, tree in variables.items()}
+
+
+# ---------------------------------------------------------------------------
+# Injection-layout migration: unrolled per-edge inj_ops*/up_inj_ops*
+# (vmap_injections=False; 1:1 with reference torch registration,
+# model_search_interact.py:501-556) <-> the default vmapped layout
+# (inj_diag_{i} stream-pairs + inj_grp_{j}/up_grp_{j} per-source
+# (stream, destination) stacks; models/search.py InjectionGroup).
+
+_ENC_OFFSETS = (0, 1, 3, 6)
+_DEC_OFFSETS = (0, 5, 11)
+
+
+def _dec_dests(j: int) -> tuple:
+    return tuple(range(3)) if j <= 3 else tuple(range(j - 3, 3))
+
+
+def _stack_subtrees(subtrees):
+    import jax.numpy as jnp
+
+    flats = [dict(flatten_dict(t)) for t in subtrees]
+    return unflatten_dict({k: jnp.stack([f[k] for f in flats])
+                           for k in flats[0]})
+
+
+def _unstack_subtree(subtree, n):
+    flat = dict(flatten_dict(subtree))
+    return [unflatten_dict({k: v[m] for k, v in flat.items()})
+            for m in range(n)]
+
+
+def _convert_injection_block(tree, to_vmapped, p1, p2, diag, grp,
+                             offsets, diag_srcs, grp_dests):
+    """``diag_srcs``: [(group_i, source_j)] diagonal pairs (module index
+    along ``{diag}_{i}`` is the group). ``grp_dests``: {source_j: dest
+    group tuple} (module index along ``{grp}_{gj}`` is enumeration order
+    of the sorted sources). Stacking order matches InjectionGroup: core
+    axis = [stream1 dests ascending, stream2 dests ascending]; diag axis =
+    [stream1, stream2]."""
+    out = dict(tree)
+    if to_vmapped:
+        for i, j in diag_srcs:
+            k = offsets[i] + j
+            out[f"{diag}_{i}"] = _stack_subtrees(
+                [out.pop(f"{p1}_{k}"), out.pop(f"{p2}_{k}")])
+        for gj, (j, dests) in enumerate(sorted(grp_dests.items())):
+            D = len(dests)
+            cores, node = [], {}
+            for s, pref in ((0, p1), (1, p2)):
+                for d, i in enumerate(dests):
+                    sub = dict(out.pop(f"{pref}_{offsets[i] + j}"))
+                    proj = sub.pop("proj", None)
+                    cores.append(sub)
+                    if proj is not None:
+                        node[f"projs_{s * D + d}"] = proj
+            node["core"] = _stack_subtrees(cores)
+            out[f"{grp}_{gj}"] = node
+    else:
+        for i, j in diag_srcs:
+            k = offsets[i] + j
+            subs = _unstack_subtree(out.pop(f"{diag}_{i}"), 2)
+            out[f"{p1}_{k}"], out[f"{p2}_{k}"] = subs
+        for gj, (j, dests) in enumerate(sorted(grp_dests.items())):
+            node = out.pop(f"{grp}_{gj}")
+            D = len(dests)
+            cores = _unstack_subtree(node["core"], 2 * D)
+            for s, pref in ((0, p1), (1, p2)):
+                for d, i in enumerate(dests):
+                    sub = dict(cores[s * D + d])
+                    pk = f"projs_{s * D + d}"
+                    if pk in node:
+                        sub["proj"] = node[pk]
+                    out[f"{pref}_{offsets[i] + j}"] = sub
+    return out
+
+
+def convert_injection_layout(tree, to_vmapped: bool):
+    """Convert one variable-collection tree between the unrolled and
+    vmapped injection layouts (encoder + decoder blocks). Works on any
+    collection with the module structure (params / batch_stats /
+    optimizer moments)."""
+    tree = _convert_injection_block(
+        tree, to_vmapped, "inj_ops1", "inj_ops2", "inj_diag", "inj_grp",
+        _ENC_OFFSETS, [(i, i) for i in range(4)],
+        {j: tuple(range(j + 1, 4)) for j in range(3)})
+    tree = _convert_injection_block(
+        tree, to_vmapped, "up_inj_ops1", "up_inj_ops2", "up_diag",
+        "up_grp", _DEC_OFFSETS, [(i, 4 + i) for i in range(3)],
+        {j: _dec_dests(j) for j in range(6)})
+    return tree
+
+
+def search_unrolled_to_default(variables: dict, steps: int = 4) -> dict:
+    """Migrate fully-unrolled SearchNet variables (vmap_fusion=False,
+    vmap_injections=False — the layout convert_reference_search_state_dict
+    produces) to the DEFAULT SearchNet layout (fusion + injections both
+    vmapped)."""
+    return {coll: convert_injection_layout(
+                convert_fusion_layout(tree, True, steps), True)
+            for coll, tree in variables.items()}
+
+
+def search_default_to_unrolled(variables: dict, steps: int = 4) -> dict:
+    """Inverse of :func:`search_unrolled_to_default` (for export to the
+    reference torch state_dict)."""
+    return {coll: convert_injection_layout(
+                convert_fusion_layout(tree, False, steps), False)
             for coll, tree in variables.items()}

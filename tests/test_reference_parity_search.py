@@ -61,7 +61,8 @@ def converted_supernet():
 
     model = SearchNet(num_classes=7, num_joints=4, layers=8,
                       init_channels=8, refine_layers=1, remat=False,
-                      vmap_fusion=False, dtype=jnp.float32)
+                      vmap_fusion=False, vmap_injections=False,
+                      dtype=jnp.float32)
     variables = jax.jit(model.init, static_argnames=("train",))(
         jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
     converted, counts = convert_reference_search_state_dict(
@@ -105,16 +106,17 @@ def test_supernet_forward_parity(converted_supernet):
 
 
 def test_supernet_forward_parity_vmapped(converted_supernet):
-    """The default stacked fusion layout (via fusion_unrolled_to_vmapped)
-    is the same function as the torch net too."""
+    """The DEFAULT stacked layout (vmapped fusion cells AND vmapped
+    injections, via search_unrolled_to_default) is the same function as
+    the torch net too."""
     ref, _, converted, _ = converted_supernet
     from npp_tpu.models.search import SearchNet
-    from npp_tpu.utils.torch_convert import fusion_unrolled_to_vmapped
+    from npp_tpu.utils.torch_convert import search_unrolled_to_default
 
     vmodel = SearchNet(num_classes=7, num_joints=4, layers=8,
                        init_channels=8, refine_layers=1, remat=False,
-                       vmap_fusion=True, dtype=jnp.float32)
-    vvars = fusion_unrolled_to_vmapped(
+                       dtype=jnp.float32)
+    vvars = search_unrolled_to_default(
         {"params": converted["params"],
          "batch_stats": converted["batch_stats"]})
     rng = np.random.default_rng(3)

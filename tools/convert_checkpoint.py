@@ -63,22 +63,22 @@ def main() -> None:
     if args.search:
         from npp_tpu.models.search import SearchNet
         from npp_tpu.utils.torch_convert import (
-            convert_reference_search_state_dict, fusion_unrolled_to_vmapped)
+            convert_reference_search_state_dict, search_unrolled_to_default)
 
         model = SearchNet(num_classes=cfg.dataset.num_classes,
                           num_joints=cfg.dataset.num_joints,
                           layers=cfg.search.layers,
                           init_channels=cfg.search.init_channels,
                           refine_layers=cfg.model.refine_layers,
-                          vmap_fusion=False, remat=False,
-                          dtype=jnp.float32)
+                          vmap_fusion=False, vmap_injections=False,
+                          remat=False, dtype=jnp.float32)
         variables = jax.eval_shape(
             lambda: model.init(jax.random.PRNGKey(0),
                                jnp.zeros((1, 64, 64, 3)), train=False))
         zeros = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
                              dict(variables))
         converted, counts = convert_reference_search_state_dict(sd, zeros)
-        converted = fusion_unrolled_to_vmapped(
+        converted = search_unrolled_to_default(
             {"params": converted["params"],
              "batch_stats": converted["batch_stats"]})
     else:

@@ -74,7 +74,8 @@ def main() -> None:
         from models.model_search_interact import Network  # reference
 
         from npp_tpu.utils.torch_convert import (
-            convert_fusion_layout, export_reference_search_state_dict)
+            convert_fusion_layout, convert_injection_layout,
+            export_reference_search_state_dict)
 
         ref_cfg = NS(DATASET=NS(NUM_CLASSES=cfg.dataset.num_classes,
                                 NUM_JOINTS=cfg.dataset.num_joints),
@@ -87,6 +88,9 @@ def main() -> None:
                       if k.startswith(("pose_net_", "par_net_")))
         if stacked:
             variables = {c: convert_fusion_layout(t, to_vmapped=False)
+                         for c, t in variables.items()}
+        if "inj_diag_0" in variables["params"]:
+            variables = {c: convert_injection_layout(t, to_vmapped=False)
                          for c, t in variables.items()}
         template = Network(ref_cfg).state_dict()
         out_sd, counts = export_reference_search_state_dict(
