@@ -15,12 +15,16 @@ import jax.numpy as jnp
 
 
 def load_eval_model(cfg_path: str, ckpt: str = "", tiny: bool = False,
-                    log_fn=print):
+                    genotype: str = "", log_fn=print):
     """Returns ``(cfg, model, variables, size)`` ready for inference.
 
     ``size`` is the eval crop ``(width, height)`` — the config's
     ``MODEL.IMAGE_SIZE``, or 128x128 under ``tiny``. With ``ckpt`` empty
-    the variables are a fresh init (synthetic smoke only)."""
+    the variables are a fresh init (synthetic smoke only). ``genotype``
+    is an optional searched-genotype JSON (a search run's
+    best_genotype.json); the fixed net — and hence the checkpoint param
+    tree — is built from it instead of the released genotypes, closing
+    the search -> augment -> serve loop (reference README.md:13-24)."""
     from npp_tpu.config import load_config
     from npp_tpu.core import train as T
     from npp_tpu.core.checkpoint import CheckpointManager
@@ -32,7 +36,13 @@ def load_eval_model(cfg_path: str, ckpt: str = "", tiny: bool = False,
             "TRAIN": {"LAYERS": 8, "INIT_CHANNELS": 8}})
     size = (128, 128) if tiny else tuple(cfg.model.image_size)
 
-    model = build_model(cfg)
+    inter = fusion = None
+    if genotype:
+        from npp_tpu.genotypes import load_genotypes
+
+        inter, fusion = load_genotypes(genotype)
+        log_fn(f"building model from searched genotypes: {genotype}")
+    model = build_model(cfg, inter=inter, fusion=fusion)
     sample = jnp.zeros((1, 64, 64, 3), jnp.float32)
     variables = jax.jit(model.init, static_argnames=("train",))(
         jax.random.PRNGKey(0), sample, train=False)

@@ -161,6 +161,37 @@ def calc_pck_lip(gt_path: str, pred_path: str, eval_num: int = 5000):
     return pckh_from_arrays(pred, gt, gt_vis)
 
 
+# LIP 20-class names, the reference's eval-table order
+# (core/function.py:1033-1036).
+LIP_CLASS_NAMES = (
+    "background", "hat", "hair", "glove", "sunglasses", "upperclothes",
+    "dress", "coat", "socks", "pants", "jumpsuits", "scarf", "skirt",
+    "face", "leftArm", "rightArm", "leftLeg", "rightLeg", "leftShoe",
+    "rightShoe")
+
+
+def per_class_table(per_class_iou: np.ndarray,
+                    per_class_acc: np.ndarray | None = None,
+                    class_names=None) -> str:
+    """Per-class IoU (+acc) table (core/function.py:1044-1078). Defaults
+    to the LIP class names when the count matches, else class indices."""
+    n = len(per_class_iou)
+    if class_names is None:
+        class_names = (LIP_CLASS_NAMES if n == len(LIP_CLASS_NAMES)
+                       else tuple(f"class_{i}" for i in range(n)))
+    lines = [f"{'class':>14} {'IoU':>7}"
+             + ("" if per_class_acc is None else f" {'acc':>7}")]
+    for i, name in enumerate(class_names):
+        row = f"{name:>14} {per_class_iou[i]:7.4f}"
+        if per_class_acc is not None:
+            row += f" {per_class_acc[i]:7.4f}"
+        lines.append(row)
+    lines.append(f"{'mean':>14} {np.nanmean(per_class_iou):7.4f}"
+                 + ("" if per_class_acc is None
+                    else f" {np.nanmean(per_class_acc):7.4f}"))
+    return "\n".join(lines)
+
+
 def pckh_table(pck_row: np.ndarray, method_name: str = "Ours") -> str:
     """LIP PCKh table in CSV joint order (calc_pckh.py:84-97)."""
     p = pck_row

@@ -66,6 +66,10 @@ def main():
     p.add_argument("--synthetic", type=int, default=0, metavar="N",
                    help="predict N random images instead of --images")
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--genotype", default="",
+                   help="searched-genotype JSON (best_genotype.json); the "
+                        "net is built from it instead of the released "
+                        "genotypes — must match the checkpoint")
     args = p.parse_args()
 
     import cv2
@@ -76,7 +80,8 @@ def main():
     from npp_tpu.utils.vis import save_parsing_png
 
     cfg, model, variables, size = load_eval_model(args.cfg, args.ckpt,
-                                                  args.tiny)
+                                                  args.tiny,
+                                                  genotype=args.genotype)
 
     pred = Predictor(model, variables, crop_size=size,
                      flip_test=not args.no_flip,
