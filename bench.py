@@ -29,8 +29,10 @@ REFERENCE_GPU_IMG_PER_SEC = 20.0
 
 
 def bench_infer(quantize: str | None = None, fused_necks: bool = False,
-                merged_streams: bool = False, repeat: int = 1) -> None:
-    from npp_tpu.models.augment import NPPNet, fuse_neck_variables
+                merged_streams: bool = False, fused_cells: bool = False,
+                repeat: int = 1) -> None:
+    from npp_tpu.models.augment import (NPPNet, fuse_neck_variables,
+                                        fuse_sibling_variables)
     from npp_tpu.ops.quantize import quantized_convs
 
     model = NPPNet(num_classes=20, num_joints=16, layers=16,
@@ -51,6 +53,11 @@ def bench_infer(quantize: str | None = None, fused_necks: bool = False,
         # layout, as Predictor(fuse_necks=True) would.
         model = model.clone(fused_necks=True)
         variables = fuse_neck_variables(variables)
+    if fused_cells:
+        # Same-input std-conv edges merged into K-wide convs (exact;
+        # fuse_sibling_variables), as Predictor(fuse_cells=True) would.
+        variables = fuse_sibling_variables(variables, model)
+        model = model.clone(fused_cells=True)
     variables = jax.device_put(variables)
 
     def one(v, x):
@@ -91,7 +98,8 @@ def bench_infer(quantize: str | None = None, fused_necks: bool = False,
 
     tag = ("" if quantize is None else f"_{quantize}") + (
         "_fusednecks" if fused_necks else "") + (
-        "_merged" if merged_streams else "")
+        "_merged" if merged_streams else "") + (
+        "_cellfused" if fused_cells else "")
     metric = f"lip384_infer{tag}_images_per_sec_per_chip"
     result = {
         "metric": metric,
@@ -190,6 +198,80 @@ def bench_predict(n_images: int = 64, batch: int = 8,
                   **({"quantize": quantize} if quantize else {}),
                   "note": "raw-RGB-to-results; includes host pre/post + "
                   "tunnel RTTs per dispatch"},
+    }))
+
+
+def bench_int8_envelope(train_steps: int = 160, batch: int = 8,
+                        n_images: int = 64) -> None:
+    """Serving-accuracy envelope of the int8 path: metric deltas between
+    fp (bf16) and int8 forwards through the FULL eval protocol (flip-TTA,
+    parsing fusion, decode, mIoU) on the SAME weights.
+
+    Weights: the flagship net briefly trained on the synthetic val
+    batches themselves (loss drops ~3x) so parsing argmax and heatmap
+    peaks are confident — untrained logits are near-uniform and any
+    perturbation flips argmax, which would report pure noise as the
+    envelope. With real LIP data + a converted checkpoint, RUNBOOK.md §6
+    is the production version of this measurement."""
+    from npp_tpu.core import evaluate as E
+    from npp_tpu.core import train as T
+    from npp_tpu.core.criterion import LIP_CLASS_WEIGHTS
+    from npp_tpu.data import DataLoader, SyntheticDataset, make_target_renderer
+    from npp_tpu.models.augment import NPPNet
+
+    model = NPPNet(num_classes=20, num_joints=16, layers=16,
+                   init_channels=64, refine_layers=1, dtype=jnp.bfloat16)
+    tx = T.make_train_optimizer(1e-3, lr_step=(1000,), lr_factor=0.1,
+                                steps_per_epoch=1000)
+    state = T.init_train_state(model, tx, jax.random.PRNGKey(0),
+                               jnp.zeros((1, 64, 64, 3), jnp.float32),
+                               num_stages=2)
+    ds = SyntheticDataset(length=n_images, crop_size=(384, 384),
+                          num_joints=16, num_classes=20, is_train=False,
+                          device_normalize=True)
+    loader = DataLoader(ds, batch, shuffle=False, num_workers=4,
+                        renderer=make_target_renderer(
+                            num_joints=16, normalize_images=True),
+                        cache_on_device=True)
+    batches = [{k: v for k, v in b.items() if k not in ("names", "index")}
+               for b in loader]
+    step = T.make_train_step(model, tx, class_weights=LIP_CLASS_WEIGHTS,
+                             donate=False)
+    first = last = None
+    for i in range(train_steps):
+        state, m = step(state, batches[i % len(batches)])
+        if i == 0:
+            first = float(m["loss"])
+    last = float(m["loss"])
+
+    params = {"model": state.params["model"],
+              "criterion": state.params["criterion"]}
+    results = {}
+    for mode in (None, "int8"):
+        es = E.make_eval_step(model, num_classes=20,
+                              class_weights=LIP_CLASS_WEIGHTS,
+                              flip_test=True, quantize=mode)
+        results[mode or "fp"] = E.validate(
+            es, params, state.batch_stats, loader, num_classes=20,
+            log_fn=lambda s: None)
+    fp, q = results["fp"], results["int8"]
+    # Keypoint deltas in source-image pixels.
+    dk = np.linalg.norm(fp["pose_preds"][..., :2] - q["pose_preds"][..., :2],
+                        axis=-1)
+    print(json.dumps({
+        "metric": "int8_vs_fp_miou_delta_pt",
+        "value": round(100 * (q["mean_iou"] - fp["mean_iou"]), 3),
+        "unit": "mIoU points", "vs_baseline": None,
+        "extra": {"fp_miou": round(100 * fp["mean_iou"], 3),
+                  "int8_miou": round(100 * q["mean_iou"], 3),
+                  "fp_pixel_acc": round(100 * fp["pixel_acc"], 3),
+                  "int8_pixel_acc": round(100 * q["pixel_acc"], 3),
+                  "kp_mean_px": round(float(dk.mean()), 3),
+                  "kp_p95_px": round(float(np.percentile(dk, 95)), 3),
+                  "kp_max_px": round(float(dk.max()), 3),
+                  "train_steps": train_steps,
+                  "loss_first_last": [round(first, 3), round(last, 3)],
+                  "n_images": n_images},
     }))
 
 
@@ -493,9 +575,10 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="infer",
                    choices=["infer", "infer_int8", "infer_fused",
-                            "infer_merged", "eval", "pipeline", "search",
+                            "infer_merged", "infer_cellfused", "infer_cellfused_necks",
+                            "eval", "pipeline", "search",
                             "train", "ppp_ms", "train_e2e", "search_e2e",
-                            "predict", "predict_int8"])
+                            "predict", "predict_int8", "int8_envelope"])
     p.add_argument("--repeat", type=int, default=1,
                    help="repeat the timed infer measurement N times and "
                         "report the median (variance in extra.runs_*; "
@@ -506,11 +589,15 @@ def main() -> None:
      "infer_int8": lambda: bench_infer(quantize="int8", repeat=rep),
      "infer_fused": lambda: bench_infer(fused_necks=True, repeat=rep),
      "infer_merged": lambda: bench_infer(merged_streams=True, repeat=rep),
+     "infer_cellfused": lambda: bench_infer(fused_cells=True, repeat=rep),
+     "infer_cellfused_necks": lambda: bench_infer(
+         fused_cells=True, fused_necks=True, repeat=rep),
      "eval": bench_eval, "pipeline": bench_pipeline,
      "search": bench_search_step, "train": bench_train,
      "ppp_ms": bench_ppp_multiscale, "train_e2e": bench_train_e2e,
      "search_e2e": bench_search_e2e, "predict": bench_predict,
-     "predict_int8": lambda: bench_predict(quantize="int8")}[args.config]()
+     "predict_int8": lambda: bench_predict(quantize="int8"),
+     "int8_envelope": bench_int8_envelope}[args.config]()
 
 
 if __name__ == "__main__":

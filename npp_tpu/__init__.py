@@ -20,6 +20,8 @@ _EXPORTS = {
     "build_model": "npp_tpu.models.augment",
     "fuse_neck_variables": "npp_tpu.models.augment",
     "unfuse_neck_variables": "npp_tpu.models.augment",
+    "fuse_sibling_variables": "npp_tpu.models.augment",
+    "unfuse_sibling_variables": "npp_tpu.models.augment",
     "SearchNet": "npp_tpu.models.search",
     "Genotype": "npp_tpu.genotypes",
     "Predictor": "npp_tpu.core.predictor",

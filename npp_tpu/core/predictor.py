@@ -26,14 +26,18 @@ class Predictor:
                  flip_test: bool = True,
                  flip_pairs=((14, 15), (16, 17), (18, 19)),
                  blur_sigma: float = 3.0, quantize: str | None = None,
-                 fuse_necks: bool = False, mesh=None,
-                 dark_decode: bool = False):
+                 fuse_necks: bool = False, fuse_cells: bool = False,
+                 mesh=None, dark_decode: bool = False):
         """``quantize="int8"`` serves dense convs as int8 MXU ops with
         dynamic requant (ops/quantize.py) — same fp checkpoint, opt-in
         accuracy/throughput trade. ``fuse_necks=True`` rewrites the model
         to the fused-neck layout (one conv+BN per stream instead of two;
         exact — see models/augment.fuse_neck_variables) and transforms
         ``variables`` to match; pass an unfused model/checkpoint.
+        ``fuse_cells=True`` likewise rewrites same-input std-conv edge
+        groups in every cell into single K-wide convs
+        (models/augment.fuse_sibling_variables; exact in fp — under
+        int8 a group shares one requant scale).
 
         ``mesh``: a ``jax.sharding.Mesh`` with a ``"data"`` axis enables
         data-parallel multi-chip serving — weights replicated, request
@@ -51,6 +55,12 @@ class Predictor:
             from npp_tpu.models.augment import fuse_neck_variables
             model = model.clone(fused_necks=True)
             variables = fuse_neck_variables(variables)
+        if fuse_cells and not getattr(model, "fused_cells", False):
+            # Same-input std-conv edges served as K-wide merged convs
+            # (exact in fp; models/augment.fuse_sibling_variables).
+            from npp_tpu.models.augment import fuse_sibling_variables
+            variables = fuse_sibling_variables(variables, model)
+            model = model.clone(fused_cells=True)
         self.mesh = mesh
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec

@@ -110,6 +110,7 @@ class NPPNet(nn.Module):
     multiplier: int = 4
     merged_streams: bool = False
     fused_necks: bool = False
+    fused_cells: bool = False
     dtype: Any = jnp.bfloat16
 
     def setup(self):
@@ -148,7 +149,8 @@ class NPPNet(nn.Module):
             self.vstem_a = VStem(c, 2, True, d)
             self.vstem_b = VStem(c * 2, 2, True, d)
             self.vstem_c = VStem(c * 2, 1, False, d)
-            self.vcells = [VCell(*a) for a in cell_args]
+            self.vcells = [VCell(*a, fuse_siblings=self.fused_cells)
+                           for a in cell_args]
         else:
             self.stem0 = _Stem(c, 2, True, d)
             self.stem1 = _Stem(c * 2, 2, True, d)
@@ -156,8 +158,10 @@ class NPPNet(nn.Module):
             self.stem3 = _Stem(c, 2, True, d)
             self.stem4 = _Stem(c * 2, 2, True, d)
             self.stem5 = _Stem(c * 2, 1, False, d)
-            self.cells1 = [Cell(*a) for a in cell_args]
-            self.cells2 = [Cell(*a) for a in cell_args]
+            self.cells1 = [Cell(*a, fuse_siblings=self.fused_cells)
+                           for a in cell_args]
+            self.cells2 = [Cell(*a, fuse_siblings=self.fused_cells)
+                           for a in cell_args]
         # Deep-to-shallow channel list [16C, 8C, 4C, 2C].
         self.num_inchannels = tuple(num_inchannels[::-1])
         shallow_first = tuple(num_inchannels)  # [2C, 4C, 8C, 16C]
@@ -185,12 +189,12 @@ class NPPNet(nn.Module):
         nc = self.num_inchannels
         self.upsamples1 = [
             UpsampleCell(self.decoder.upsample1, self.decoder.upsample_concat1,
-                         nc[j + 1], d)
+                         nc[j + 1], d, fuse_siblings=self.fused_cells)
             for j in range(len(nc) - 1)
         ]
         self.upsamples2 = [
             UpsampleCell(self.decoder.upsample2, self.decoder.upsample_concat2,
-                         nc[j + 1], d)
+                         nc[j + 1], d, fuse_siblings=self.fused_cells)
             for j in range(len(nc) - 1)
         ]
 
@@ -216,11 +220,13 @@ class NPPNet(nn.Module):
         # the count the indexing actually needs).
         n_cells = 2 * max(self.refine_layers - 1, 0) + 3
         self.pose_net = [
-            FusionCell(self.fusion.pose, self.fusion.pose_concat, nc[3], 1, d)
+            FusionCell(self.fusion.pose, self.fusion.pose_concat, nc[3], 1, d,
+                       fuse_siblings=self.fused_cells)
             for _ in range(n_cells)
         ]
         self.par_net = [
-            FusionCell(self.fusion.par, self.fusion.par_concat, nc[3], 1, d)
+            FusionCell(self.fusion.par, self.fusion.par_concat, nc[3], 1, d,
+                       fuse_siblings=self.fused_cells)
             for _ in range(n_cells)
         ]
 
@@ -412,6 +418,108 @@ def unfuse_neck_variables(variables):
                                  ("neck2", "edge_layer", "par_layer")):
             if fused in tree:
                 tree[aux], tree[main] = split(tree.pop(fused))
+        out[col] = tree
+    return out
+
+
+def _cell_specs(model: NPPNet):
+    """(edges, reduction) per genotype-compiled cell module name, in the
+    standard (unmerged-streams) layout — the grouping contract shared by
+    ``fuse_sibling_variables`` and the ``fuse_siblings`` cell modules."""
+    L = model.layers
+    reductions = {L // 4, 2 * L // 4, 3 * L // 4}
+    specs = {}
+    for i in range(L):
+        red = i in reductions
+        edges = model.encoder.reduce if red else model.encoder.normal
+        specs[f"cells1_{i}"] = (edges, red)
+        specs[f"cells2_{i}"] = (edges, red)
+    for j in range(3):
+        specs[f"upsamples1_{j}"] = (model.decoder.upsample1, False)
+        specs[f"upsamples2_{j}"] = (model.decoder.upsample2, False)
+    n_cells = 2 * max(model.refine_layers - 1, 0) + 3
+    for k in range(n_cells):
+        specs[f"pose_net_{k}"] = (model.fusion.pose, False)
+        specs[f"par_net_{k}"] = (model.fusion.par, False)
+    return specs
+
+
+def fuse_sibling_variables(variables, model: NPPNet):
+    """Exact standard→``fused_cells`` variable transform.
+
+    For every genotype-compiled cell, same-input std-conv edge groups
+    (``models.cells.sibling_groups``) concatenate their ReLUConvBN
+    subtrees leaf-wise along the output-channel axis into one
+    ``sib_{g}`` SiblingConvGroup subtree (conv kernels are HWIO and
+    every BN vector is per-output-channel, so ``axis=-1`` is right for
+    all leaves); remaining edges renumber densely to ``ops_{j}``.
+    ``model`` supplies the genotypes/depth (a standard-layout NPPNet).
+    Exact in both modes — tests/test_model.py."""
+    import jax
+
+    from npp_tpu.models.cells import sibling_groups
+
+    specs = _cell_specs(model)
+    out = {}
+    for col, tree in variables.items():
+        tree = dict(tree)
+        for cname, (edges, red) in specs.items():
+            if cname not in tree:
+                continue
+            sub = dict(tree[cname])
+            grouped = set()
+            for g, (_key, es) in enumerate(sibling_groups(edges, red)):
+                parts = [sub.pop(f"ops_{e}") for e in es]
+                grouped.update(es)
+                sub[f"sib_{g}"] = jax.tree.map(
+                    lambda *ps: jnp.concatenate(ps, axis=-1), *parts)
+            pos = 0
+            for e in range(len(edges)):
+                if e in grouped:
+                    continue
+                if f"ops_{e}" in sub:
+                    sub[f"ops_{pos}"] = sub.pop(f"ops_{e}") \
+                        if pos != e else sub[f"ops_{e}"]
+                pos += 1
+            tree[cname] = sub
+        out[col] = tree
+    return out
+
+
+def unfuse_sibling_variables(variables, model: NPPNet):
+    """Exact inverse of :func:`fuse_sibling_variables` (split each
+    ``sib_{g}`` subtree back into per-edge ReLUConvBN subtrees and
+    restore original ``ops_{e}`` numbering)."""
+    import jax
+
+    from npp_tpu.models.cells import sibling_groups
+
+    specs = _cell_specs(model)
+    out = {}
+    for col, tree in variables.items():
+        tree = dict(tree)
+        for cname, (edges, red) in specs.items():
+            if cname not in tree:
+                continue
+            sub = dict(tree[cname])
+            groups = sibling_groups(edges, red)
+            grouped = {e for _k, es in groups for e in es}
+            # Un-renumber the non-grouped ops (reverse order so moves
+            # never clobber: new index <= original index always).
+            remaining = [e for e in range(len(edges)) if e not in grouped]
+            for pos in range(len(remaining) - 1, -1, -1):
+                e = remaining[pos]
+                if pos != e and f"ops_{pos}" in sub:
+                    sub[f"ops_{e}"] = sub.pop(f"ops_{pos}")
+            for g, (_key, es) in enumerate(groups):
+                node = sub.pop(f"sib_{g}")
+                k = len(es)
+                for s_i, e in enumerate(es):
+                    sub[f"ops_{e}"] = jax.tree.map(
+                        lambda p, s_i=s_i, k=k: p[
+                            ..., s_i * (p.shape[-1] // k):
+                            (s_i + 1) * (p.shape[-1] // k)], node)
+            tree[cname] = sub
         out[col] = tree
     return out
 

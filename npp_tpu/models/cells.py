@@ -20,8 +20,121 @@ from npp_tpu.ops.primitives import FactorizedReduce, ReLUConvBN, Conv, make_op
 from npp_tpu.ops.resize import resize_nearest, resize_scale
 
 
-class Cell(nn.Module):
-    """DARTS encoder cell with fixed genotype (model_augment.py:16-62)."""
+def sibling_groups(edges, reduction: bool = False):
+    """Edge-index groups of >=2 ``std_conv_*`` edges reading the SAME
+    state with the same stride — mergeable into ONE wider conv.
+
+    The released genotypes are rich in these (e.g. the encoder normal
+    cell has three ``std_conv_3x3`` edges all reading state 0): each
+    group collapses K (C -> C) MXU matmuls into one (C -> K*C), the
+    "fewer, larger ops" direction the round-3 device trace prescribed
+    (BENCH.md: flat profile, ~1800 small fusions). Returns
+    ``[((name, state, stride), (edge_idx, ...)), ...]`` sorted by first
+    edge index; the module and the variable converter both call this, so
+    layouts always agree."""
+    byk: dict = {}
+    for i, (name, idx) in enumerate(edges):
+        if name in ("std_conv_3x3", "std_conv_1x1"):
+            stride = 2 if reduction and idx < 2 else 1
+            byk.setdefault((name, idx, stride), []).append(i)
+    groups = [(k, tuple(v)) for k, v in byk.items() if len(v) >= 2]
+    groups.sort(key=lambda kv: kv[1][0])
+    return groups
+
+
+class SiblingConvGroup(nn.Module):
+    """K same-spec ReLU-Conv-BN edges on one input as a single K-wide op.
+
+    Exact by construction: conv output channels are independent and BN
+    statistics/affine are per-channel, so one (C -> K*C) conv + one
+    concatenated BN equals the K separate (C -> C) ReLUConvBN edges in
+    BOTH train and eval modes. The compact child structure (Conv_0,
+    BatchNorm_0) deliberately mirrors ReLUConvBN so the variable
+    transform is a pure per-leaf channel concat
+    (models/augment.py:fuse_sibling_variables). Returns the concatenated
+    (B, H, W, K*C) tensor; the caller slices per edge.
+
+    Caveat: under int8 serving the group shares ONE dynamic requant
+    scale across its K edges, so int8 outputs differ slightly from the
+    unfused int8 graph (fp outputs are identical)."""
+
+    channels: int
+    k: int
+    kernel: int
+    stride: int
+    padding: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = nn.relu(x)
+        x = Conv(self.channels * self.k, (self.kernel, self.kernel),
+                 (self.stride, self.stride), (self.padding, self.padding),
+                 use_bias=False, dtype=self.dtype)(x)
+        from npp_tpu.ops.primitives import BatchNorm
+        return BatchNorm(True, self.dtype)(x, train)
+
+
+class _SiblingMixin:
+    """Shared edge-op plumbing for cells that support ``fuse_siblings``.
+
+    ``_setup_edge_ops(channels, dtype)`` builds either the plain per-edge
+    op list or (fused) SiblingConvGroups + the residual op list;
+    ``_edge_out(e, states, train, post=None)`` evaluates edge ``e``
+    against the state list, lazily computing each group ONCE per call at
+    its first use (all edges of a group read the same state, so the
+    input is final by then). ``post`` post-processes a whole group's
+    concatenated output (UpsampleCell's 2x upsample) before slicing —
+    exact because resize is per-channel."""
+
+    def _edge_stride(self, index: int) -> int:
+        return 2 if getattr(self, "reduction", False) and index < 2 else 1
+
+    def _setup_edge_ops(self, c, d):
+        if not self.fuse_siblings:
+            self.ops = [make_op(name, c, self._edge_stride(index), True, d)
+                        for name, index in self.edges]
+            return
+        groups = sibling_groups(self.edges,
+                                getattr(self, "reduction", False))
+        self._groups = groups
+        slot, sib = {}, []
+        for g, ((name, _idx, stride), es) in enumerate(groups):
+            ksz, pad = (3, 1) if name == "std_conv_3x3" else (1, 0)
+            sib.append(SiblingConvGroup(c, len(es), ksz, stride, pad, d))
+            for s_i, e in enumerate(es):
+                slot[e] = (g, s_i)
+        self.sib = sib
+        self._slot = slot
+        ops, pos = [], {}
+        for e, (name, index) in enumerate(self.edges):
+            if e in slot:
+                continue
+            pos[e] = len(ops)
+            ops.append(make_op(name, c, self._edge_stride(index), True, d))
+        self.ops = ops
+        self._op_pos = pos
+
+    def _edge_out(self, e, states, train, cache, post=None):
+        x = states[self.edges[e][1]]
+        if self.fuse_siblings and e in self._slot:
+            g, s_i = self._slot[e]
+            if g not in cache:
+                y = self.sib[g](x, train)
+                cache[g] = post(y) if post is not None else y
+            c = cache[g].shape[-1] // len(self._groups[g][1])
+            return cache[g][..., s_i * c:(s_i + 1) * c]
+        op = self.ops[self._op_pos[e]] if self.fuse_siblings else self.ops[e]
+        y = op(x, train)
+        return post(y) if post is not None else y
+
+
+class Cell(nn.Module, _SiblingMixin):
+    """DARTS encoder cell with fixed genotype (model_augment.py:16-62).
+
+    ``fuse_siblings=True`` merges same-input std-conv edges into one
+    wider conv each (see sibling_groups; exact, serving-oriented —
+    variable layout differs, convert with ``fuse_sibling_variables``)."""
 
     edges: tuple[Edge, ...]
     concat: tuple[int, ...]
@@ -29,6 +142,7 @@ class Cell(nn.Module):
     reduction: bool
     reduction_prev: bool
     dtype: Any = None
+    fuse_siblings: bool = False
 
     def setup(self):
         c, d = self.channels, self.dtype
@@ -37,65 +151,67 @@ class Cell(nn.Module):
         else:
             self.preprocess0 = ReLUConvBN(c, 1, 1, 0, True, d)
         self.preprocess1 = ReLUConvBN(c, 1, 1, 0, True, d)
-        ops = []
-        for name, index in self.edges:
-            stride = 2 if self.reduction and index < 2 else 1
-            ops.append(make_op(name, c, stride, True, d))
-        self.ops = ops
+        self._setup_edge_ops(c, d)
 
     def __call__(self, s0, s1, train: bool):
         s0 = self.preprocess0(s0, train)
         s1 = self.preprocess1(s1, train)
         states = [s0, s1]
+        cache: dict = {}
         for i in range(len(self.edges) // 2):
-            h1 = self.ops[2 * i](states[self.edges[2 * i][1]], train)
-            h2 = self.ops[2 * i + 1](states[self.edges[2 * i + 1][1]], train)
+            h1 = self._edge_out(2 * i, states, train, cache)
+            h2 = self._edge_out(2 * i + 1, states, train, cache)
             states.append(h1 + h2)
         return jnp.concatenate([states[i] for i in self.concat], axis=-1)
 
 
-class UpsampleCell(nn.Module):
+class UpsampleCell(nn.Module, _SiblingMixin):
     """Decoder upsample cell (model_augment.py:64-106).
 
     ``s0`` is the coarser (half-resolution) feature; ops reading state 0 are
     followed by a 2x bilinear upsample (align_corners=True).
+    ``fuse_siblings`` merges same-input std-conv edges (the released
+    decoder genotypes are 1x1-conv-heavy); a fused group's 2x upsample
+    runs ONCE on the concatenated output (resize is per-channel).
     """
 
     edges: tuple[Edge, ...]
     concat: tuple[int, ...]
     c_prev: int  # channels of s1; node width is c_prev // 4
     dtype: Any = None
+    fuse_siblings: bool = False
 
     def setup(self):
         c, d = self.c_prev // 4, self.dtype
         self.preprocess0 = ReLUConvBN(c, 1, 1, 0, True, d)
         self.preprocess1 = ReLUConvBN(c, 1, 1, 0, True, d)
-        self.ops = [make_op(name, c, 1, True, d) for name, _ in self.edges]
+        self._setup_edge_ops(c, d)
 
-    def _apply(self, i, x, train):
-        y = self.ops[i](x, train)
-        if self.edges[i][1] == 0:
-            y = resize_scale(y, 2.0, align_corners=True)
-        return y
+    def _apply(self, i, states, train, cache):
+        post = ((lambda y: resize_scale(y, 2.0, align_corners=True))
+                if self.edges[i][1] == 0 else None)
+        return self._edge_out(i, states, train, cache, post=post)
 
     def __call__(self, s0, s1, train: bool):
         s0 = self.preprocess0(s0, train)
         s1 = self.preprocess1(s1, train)
         states = [s0, s1]
+        cache: dict = {}
         for i in range(len(self.edges) // 2):
-            h1 = self._apply(2 * i, states[self.edges[2 * i][1]], train)
-            h2 = self._apply(2 * i + 1, states[self.edges[2 * i + 1][1]], train)
+            h1 = self._apply(2 * i, states, train, cache)
+            h2 = self._apply(2 * i + 1, states, train, cache)
             states.append(h1 + h2)
         return jnp.concatenate([states[i] for i in self.concat], axis=-1)
 
 
-class FusionCell(nn.Module):
+class FusionCell(nn.Module, _SiblingMixin):
     """Refinement cell shared by pose/par branches (model_augment.py:119-229).
 
     Takes three preprocessed states, runs the fused genotype steps, and
     returns ``(fea1, fea2)`` = (concat of input states, concat of the
     ``concat`` nodes). ``order=0`` is the (unused in the released net)
-    multi-scale variant that upsamples states 0/1.
+    multi-scale variant that upsamples states 0/1. ``fuse_siblings``
+    merges same-input std-conv edges (see sibling_groups).
     """
 
     edges: tuple[Edge, ...]
@@ -103,32 +219,34 @@ class FusionCell(nn.Module):
     channels: int
     order: int = 1
     dtype: Any = None
+    fuse_siblings: bool = False
 
     def setup(self):
         c, d = self.channels, self.dtype
         self.preprocess0 = ReLUConvBN(c, 1, 1, 0, True, d)
         self.preprocess1 = ReLUConvBN(c, 1, 1, 0, True, d)
         self.preprocess2 = ReLUConvBN(c, 1, 1, 0, True, d)
-        self.ops = [make_op(name, c, 1, True, d) for name, _ in self.edges]
+        self._setup_edge_ops(c, d)
 
-    def _apply(self, i, x, train):
-        y = self.ops[i](x, train)
+    def _apply(self, i, states, train, cache):
+        post = None
         if self.order == 0:
             idx = self.edges[i][1]
             if idx == 0:
-                y = resize_scale(y, 4.0, align_corners=True)
+                post = lambda y: resize_scale(y, 4.0, align_corners=True)
             elif idx == 1:
-                y = resize_scale(y, 2.0, align_corners=True)
-        return y
+                post = lambda y: resize_scale(y, 2.0, align_corners=True)
+        return self._edge_out(i, states, train, cache, post=post)
 
     def __call__(self, s0, s1, s2, train: bool):
         s0 = self.preprocess0(s0, train)
         s1 = self.preprocess1(s1, train)
         s2 = self.preprocess2(s2, train)
         states = [s0, s1, s2]
+        cache: dict = {}
         for i in range(len(self.edges) // 2):
-            h1 = self._apply(2 * i, states[self.edges[2 * i][1]], train)
-            h2 = self._apply(2 * i + 1, states[self.edges[2 * i + 1][1]], train)
+            h1 = self._apply(2 * i, states, train, cache)
+            h2 = self._apply(2 * i + 1, states, train, cache)
             states.append(h1 + h2)
         if self.order == 0:
             # Reference uses default-mode (nearest) interpolate here

@@ -146,3 +146,66 @@ def test_merged_streams_variant():
     assert pose_list[-1][0].shape == (1, 16, 16, 4)
     assert par_list[-1][0].shape == (1, 16, 16, 5)
     assert np.isfinite(np.asarray(pose_list[-1][0])).all()
+
+
+def test_fused_cells_exact(tiny_model_bundle):
+    """fused_cells=True + fuse_sibling_variables must reproduce the
+    standard forward (both modes): same-input std-conv edges merge into
+    one K-wide conv + one concatenated BN (output channels independent,
+    BN per-channel), slices restore each edge's contribution.
+
+    The released genotypes make this worthwhile: the encoder normal cell
+    carries three std_conv_3x3 edges all reading state 0 (one 3x-wider
+    MXU matmul instead of three), and the decoder upsample cells are
+    1x1-conv-heavy (whose 2x upsample then runs once per group)."""
+    from npp_tpu.models.augment import (fuse_sibling_variables,
+                                        unfuse_sibling_variables)
+    from npp_tpu.models.cells import sibling_groups
+
+    model, variables, _ = tiny_model_bundle
+    # The released genotypes must actually produce groups.
+    assert len(sibling_groups(model.encoder.normal)) >= 1
+    assert len(sibling_groups(model.decoder.upsample1)) >= 1
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)), jnp.float32)
+    fused_model = model.clone(fused_cells=True)
+    fused_vars = fuse_sibling_variables(variables, model)
+    assert "sib_0" in fused_vars["params"]["cells1_0"]
+    # Inverse round-trips bit-exactly (split of a concat, no arithmetic).
+    back = unfuse_sibling_variables(fused_vars, model)
+    assert jax.tree.structure(back) == jax.tree.structure(variables)
+    for a, b in zip(jax.tree.leaves(variables), jax.tree.leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    fwd = jax.jit(model.apply, static_argnames=("train",))
+    ffwd = jax.jit(fused_model.apply, static_argnames=("train",))
+    ref_pose, ref_par = fwd(variables, x, train=False)
+    got_pose, got_par = ffwd(fused_vars, x, train=False)
+    # atol 2e-4: the K-wide CPU conv reassociates differently than K
+    # narrow ones (documented CPU conv noise); a wrong group/slot mapping
+    # errors at O(0.1).
+    for ref_branch, got_branch in zip((ref_pose, ref_par),
+                                      (got_pose, got_par)):
+        for (rm, ra), (gm, ga) in zip(ref_branch, got_branch):
+            np.testing.assert_allclose(np.asarray(gm), np.asarray(rm),
+                                       rtol=0, atol=2e-4)
+            np.testing.assert_allclose(np.asarray(ga), np.asarray(ra),
+                                       rtol=0, atol=2e-4)
+
+    # Train mode: outputs and updated running stats agree after mapping
+    # the mutated stats through the same transform.
+    step = jax.jit(lambda v, x: model.apply(
+        v, x, train=True, mutable=["batch_stats"]))
+    fstep = jax.jit(lambda v, x: fused_model.apply(
+        v, x, train=True, mutable=["batch_stats"]))
+    ref_out, ref_mut = step(variables, x)
+    got_out, got_mut = fstep(fused_vars, x)
+    np.testing.assert_allclose(np.asarray(got_out[1][-1][0]),
+                               np.asarray(ref_out[1][-1][0]),
+                               rtol=0, atol=5e-4)
+    refused = fuse_sibling_variables(ref_mut, model)
+    for a, b in zip(jax.tree.leaves(refused["batch_stats"]),
+                    jax.tree.leaves(got_mut["batch_stats"])):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=0, atol=5e-4)
