@@ -108,6 +108,9 @@ def bench_infer(quantize: str | None = None, fused_necks: bool = False,
         "vs_baseline": round(img_per_sec / REFERENCE_GPU_IMG_PER_SEC, 2),
         "extra": {"p50_single_image_ms": round(p50_ms, 2),
                   "batch": batch,
+                  "vs_baseline_note": "denominator is the DOCUMENTED "
+                  "ESTIMATE of 20 img/s single-GPU reference throughput "
+                  "(BENCH.md), not a measured reference number",
                   "backend": jax.default_backend(),
                   **({"quantize": quantize} if quantize else {}),
                   **({"runs_img_per_sec": [round(r, 1) for r in rates],

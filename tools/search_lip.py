@@ -154,7 +154,15 @@ def main():
     best_iou = best_pck = 0.0
     best_genotype = None
     if args.resume:
-        restored, meta = ckpt.restore(state)
+        try:
+            restored, meta = ckpt.restore(state)
+        except Exception as e:
+            raise SystemExit(
+                "resume failed — if this checkpoint predates the vmapped "
+                "injection layout (round-4 default), migrate it with "
+                "npp_tpu.utils.torch_convert.convert_injection_layout"
+                "(tree, to_vmapped=True) per collection (MIGRATION.md "
+                "supernet layout note); original error: " + repr(e))
         if restored is not None:
             state = restored
             begin_epoch = int(meta["epoch"]) + 1
