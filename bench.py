@@ -30,7 +30,7 @@ REFERENCE_GPU_IMG_PER_SEC = 20.0
 
 def bench_infer(quantize: str | None = None, fused_necks: bool = False,
                 merged_streams: bool = False, fused_cells: bool = False,
-                repeat: int = 1) -> None:
+                repeat: int = 1, quant_prep: str = "none") -> None:
     from npp_tpu.models.augment import (NPPNet, fuse_neck_variables,
                                         fuse_sibling_variables)
     from npp_tpu.ops.quantize import quantized_convs
@@ -58,6 +58,18 @@ def bench_infer(quantize: str | None = None, fused_necks: bool = False,
         # fuse_sibling_variables), as Predictor(fuse_cells=True) would.
         variables = fuse_sibling_variables(variables, model)
         model = model.clone(fused_cells=True)
+    if quantize == "int8" and quant_prep != "none":
+        # int8 v2: pre-quantized weight tree ('qconst'), and for
+        # quant_prep="static" calibrated static activation scales from
+        # OTHER batches than the timed one (ops/quantize.py docstring).
+        from npp_tpu.ops.quantize import calibrate_acts, prepare_weights
+        qconst = prepare_weights(model, variables,
+                                 images[0][:1, :64, :64], train=False)
+        variables = {**variables, "qconst": qconst}
+        if quant_prep == "static":
+            scales = calibrate_acts(model, variables, images[1:4],
+                                    train=False)
+            variables = {**variables, "act_scales": scales}
     variables = jax.device_put(variables)
 
     def one(v, x):
@@ -97,6 +109,7 @@ def bench_infer(quantize: str | None = None, fused_necks: bool = False,
     p50_ms = float(np.median(lats))
 
     tag = ("" if quantize is None else f"_{quantize}") + (
+        "" if quant_prep == "none" else f"{quant_prep}") + (
         "_fusednecks" if fused_necks else "") + (
         "_merged" if merged_streams else "") + (
         "_cellfused" if fused_cells else "")
@@ -249,29 +262,50 @@ def bench_int8_envelope(train_steps: int = 160, batch: int = 8,
 
     params = {"model": state.params["model"],
               "criterion": state.params["criterion"]}
+    # int8 v2 static path: pre-quantized weights + activation scales
+    # calibrated on the val images themselves (the realistic protocol).
+    from npp_tpu.ops.quantize import calibrate_acts, prepare_weights
+    variables = {"params": params["model"],
+                 "batch_stats": state.batch_stats}
+    qconst = prepare_weights(model, variables,
+                             jnp.zeros((1, 64, 64, 3), jnp.float32),
+                             train=False)
+    scales = calibrate_acts(model, {**variables, "qconst": qconst},
+                            [b["image"] for b in batches], train=False)
+    static_params = {**params, "qconst": qconst, "act_scales": scales}
     results = {}
-    for mode in (None, "int8"):
+    for name, mode, p in (("fp", None, params), ("int8", "int8", params),
+                          ("int8static", "int8", static_params)):
         es = E.make_eval_step(model, num_classes=20,
                               class_weights=LIP_CLASS_WEIGHTS,
                               flip_test=True, quantize=mode)
-        results[mode or "fp"] = E.validate(
-            es, params, state.batch_stats, loader, num_classes=20,
+        results[name] = E.validate(
+            es, p, state.batch_stats, loader, num_classes=20,
             log_fn=lambda s: None)
-    fp, q = results["fp"], results["int8"]
+    fp, q, qs = results["fp"], results["int8"], results["int8static"]
     # Keypoint deltas in source-image pixels.
     dk = np.linalg.norm(fp["pose_preds"][..., :2] - q["pose_preds"][..., :2],
                         axis=-1)
+    dks = np.linalg.norm(fp["pose_preds"][..., :2]
+                         - qs["pose_preds"][..., :2], axis=-1)
     print(json.dumps({
         "metric": "int8_vs_fp_miou_delta_pt",
         "value": round(100 * (q["mean_iou"] - fp["mean_iou"]), 3),
         "unit": "mIoU points", "vs_baseline": None,
         "extra": {"fp_miou": round(100 * fp["mean_iou"], 3),
                   "int8_miou": round(100 * q["mean_iou"], 3),
+                  "int8static_miou": round(100 * qs["mean_iou"], 3),
+                  "int8static_miou_delta_pt":
+                      round(100 * (qs["mean_iou"] - fp["mean_iou"]), 3),
                   "fp_pixel_acc": round(100 * fp["pixel_acc"], 3),
                   "int8_pixel_acc": round(100 * q["pixel_acc"], 3),
+                  "int8static_pixel_acc": round(100 * qs["pixel_acc"], 3),
                   "kp_mean_px": round(float(dk.mean()), 3),
                   "kp_p95_px": round(float(np.percentile(dk, 95)), 3),
                   "kp_max_px": round(float(dk.max()), 3),
+                  "kp_static_mean_px": round(float(dks.mean()), 3),
+                  "kp_static_p95_px": round(float(np.percentile(dks, 95)),
+                                            3),
                   "train_steps": train_steps,
                   "loss_first_last": [round(first, 3), round(last, 3)],
                   "n_images": n_images},
@@ -577,7 +611,8 @@ def bench_search_step(full_scale: bool = True) -> None:
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="infer",
-                   choices=["infer", "infer_int8", "infer_fused",
+                   choices=["infer", "infer_int8", "infer_int8prep",
+                            "infer_int8static", "infer_fused",
                             "infer_merged", "infer_cellfused", "infer_cellfused_necks",
                             "eval", "pipeline", "search",
                             "train", "ppp_ms", "train_e2e", "search_e2e",
@@ -590,6 +625,10 @@ def main() -> None:
     rep = args.repeat
     {"infer": lambda: bench_infer(repeat=rep),
      "infer_int8": lambda: bench_infer(quantize="int8", repeat=rep),
+     "infer_int8prep": lambda: bench_infer(quantize="int8", repeat=rep,
+                                           quant_prep="prep"),
+     "infer_int8static": lambda: bench_infer(quantize="int8", repeat=rep,
+                                             quant_prep="static"),
      "infer_fused": lambda: bench_infer(fused_necks=True, repeat=rep),
      "infer_merged": lambda: bench_infer(merged_streams=True, repeat=rep),
      "infer_cellfused": lambda: bench_infer(fused_cells=True, repeat=rep),

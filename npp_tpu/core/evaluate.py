@@ -52,6 +52,12 @@ def make_eval_step_body(model, *, num_classes: int, class_weights,
 
     def step(params, batch_stats, batch):
         variables = {"params": params["model"], "batch_stats": batch_stats}
+        # int8 v2 (ops/quantize.py): pre-quantized weights / calibrated
+        # static activation scales ride along in ``params`` so they stay
+        # jit ARGUMENTS (closures over ~100MB trees break the relay).
+        for col in ("qconst", "act_scales"):
+            if col in params:
+                variables[col] = params[col]
         image = batch["image"]
         with quantized_convs(quantize):
             pose_list, par_list = model.apply(variables, image, train=False)
@@ -417,6 +423,12 @@ def make_ppp_eval_step(model, *, num_classes: int, class_weights,
 
     def step(params, batch_stats, batch):
         variables = {"params": params["model"], "batch_stats": batch_stats}
+        # int8 v2 (ops/quantize.py): pre-quantized weights / calibrated
+        # static activation scales ride along in ``params`` so they stay
+        # jit ARGUMENTS (closures over ~100MB trees break the relay).
+        for col in ("qconst", "act_scales"):
+            if col in params:
+                variables[col] = params[col]
         image = batch["image"]
         pose_list, par_list = model.apply(variables, image, train=False)
         if flip_test:

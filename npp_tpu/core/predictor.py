@@ -28,9 +28,12 @@ class Predictor:
                  blur_sigma: float = 3.0, quantize: str | None = None,
                  fuse_necks: bool = False, fuse_cells: bool = False,
                  mesh=None, dark_decode: bool = False):
-        """``quantize="int8"`` serves dense convs as int8 MXU ops with
-        dynamic requant (ops/quantize.py) — same fp checkpoint, opt-in
-        accuracy/throughput trade. ``fuse_necks=True`` rewrites the model
+        """``quantize="int8"`` serves dense convs as int8 MXU ops
+        (ops/quantize.py) — same fp checkpoint, opt-in accuracy/
+        throughput trade. Weights are pre-quantized ONCE at construction
+        (int8 v2 'qconst' collection); activation scales are dynamic
+        until ``calibrate_int8(images)`` installs calibrated static
+        ones. ``fuse_necks=True`` rewrites the model
         to the fused-neck layout (one conv+BN per stream instead of two;
         exact — see models/augment.fuse_neck_variables) and transforms
         ``variables`` to match; pass an unfused model/checkpoint.
@@ -61,6 +64,15 @@ class Predictor:
             from npp_tpu.models.augment import fuse_sibling_variables
             variables = fuse_sibling_variables(variables, model)
             model = model.clone(fused_cells=True)
+        if quantize == "int8":
+            # int8 v2: hoist weight quantization out of the serving
+            # graph. One jitted pass at a tiny spatial size (params are
+            # H/W-independent) sows the int8 kernels + scales.
+            from npp_tpu.ops.quantize import prepare_weights
+            qconst = prepare_weights(
+                model, variables,
+                jnp.zeros((1, 64, 64, 3), jnp.float32), train=False)
+            variables = {**variables, "qconst": qconst}
         self.mesh = mesh
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
@@ -128,6 +140,40 @@ class Predictor:
 
         self._fwd = jax.jit(fwd)
         self._serve = jax.jit(serve)
+
+    def calibrate_int8(self, images, *, batch_size: int = 8):
+        """Install calibrated STATIC int8 activation scales (int8 v2).
+
+        Runs the int8 forward over ``images`` (raw RGB, preprocessed the
+        same way as serving) recording each dense conv input's absmax;
+        subsequent predictions quantize activations with the resulting
+        static scales — the per-conv dynamic max reduction (the dominant
+        int8-v1 cost) disappears from the serving graph. Calibrate on
+        data representative of the serving distribution; live
+        activations beyond the calibrated range are clipped."""
+        if self.quantize != "int8":
+            raise ValueError("calibrate_int8 requires quantize='int8'")
+        if not images:
+            raise ValueError("calibrate_int8 needs at least one image")
+        from npp_tpu.data.lip import IMAGENET_MEAN, IMAGENET_STD
+        from npp_tpu.ops.quantize import calibrate_acts
+        pre = np.stack([self.preprocess(im)[0] for im in images])
+        n = len(images)
+        padded = -(-n // batch_size) * batch_size
+        if padded != n:  # repeat-pad: keeps one compiled batch shape
+            pre = np.concatenate(
+                [pre, np.repeat(pre[-1:], padded - n, axis=0)])
+        norm = (pre.astype(np.float32) / 255.0
+                - np.asarray(IMAGENET_MEAN)) / np.asarray(IMAGENET_STD)
+        batches = [jnp.asarray(norm[i:i + batch_size])
+                   for i in range(0, padded, batch_size)]
+        scales = calibrate_acts(self.model, self.variables, batches,
+                                train=False)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            scales = jax.device_put(
+                scales, NamedSharding(self.mesh, PartitionSpec()))
+        self.variables = {**self.variables, "act_scales": scales}
 
     def preprocess(self, im_rgb: np.ndarray):
         """Eval-path geometry (data_loader.py:221-237): long-side scale to

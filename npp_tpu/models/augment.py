@@ -469,10 +469,17 @@ def fuse_sibling_variables(variables, model: NPPNet):
             sub = dict(tree[cname])
             grouped = set()
             for g, (_key, es) in enumerate(sibling_groups(edges, red)):
-                parts = [sub.pop(f"ops_{e}") for e in es]
                 grouped.update(es)
-                sub[f"sib_{g}"] = jax.tree.map(
-                    lambda *ps: jnp.concatenate(ps, axis=-1), *parts)
+                # Per-collection presence guard: stride-1 se_connect
+                # edges have params but no batch_stats (SEBlock gains a
+                # BN only in reduce cells), so a group may be absent
+                # from a collection entirely — all-or-none, since every
+                # edge of a group is the same op.
+                parts = [sub.pop(f"ops_{e}") for e in es
+                         if f"ops_{e}" in sub]
+                if parts:
+                    sub[f"sib_{g}"] = jax.tree.map(
+                        lambda *ps: jnp.concatenate(ps, axis=-1), *parts)
             pos = 0
             for e in range(len(edges)):
                 if e in grouped:
@@ -512,6 +519,9 @@ def unfuse_sibling_variables(variables, model: NPPNet):
                 if pos != e and f"ops_{pos}" in sub:
                     sub[f"ops_{e}"] = sub.pop(f"ops_{pos}")
             for g, (_key, es) in enumerate(groups):
+                if f"sib_{g}" not in sub:
+                    continue  # group absent from this collection (see
+                    # fuse_sibling_variables: stride-1 SE batch_stats)
                 node = sub.pop(f"sib_{g}")
                 k = len(es)
                 for s_i, e in enumerate(es):

@@ -21,20 +21,23 @@ from npp_tpu.ops.resize import resize_nearest, resize_scale
 
 
 def sibling_groups(edges, reduction: bool = False):
-    """Edge-index groups of >=2 ``std_conv_*`` edges reading the SAME
-    state with the same stride — mergeable into ONE wider conv.
+    """Edge-index groups of >=2 ``std_conv_*`` or ``se_connect`` edges
+    reading the SAME state with the same stride — mergeable into ONE
+    wider op (same-name edges only; groups never mix op types).
 
     The released genotypes are rich in these (e.g. the encoder normal
-    cell has three ``std_conv_3x3`` edges all reading state 0): each
-    group collapses K (C -> C) MXU matmuls into one (C -> K*C), the
-    "fewer, larger ops" direction the round-3 device trace prescribed
-    (BENCH.md: flat profile, ~1800 small fusions). Returns
-    ``[((name, state, stride), (edge_idx, ...)), ...]`` sorted by first
-    edge index; the module and the variable converter both call this, so
-    layouts always agree."""
+    cell has three ``std_conv_3x3`` edges all reading state 0 AND an
+    ``se_connect`` pair on state 1): each conv group collapses K
+    (C -> C) MXU matmuls into one (C -> K*C), and each SE group shares
+    one global-pool squeeze + runs the K excitation MLPs as one merged/
+    grouped pair of 1x1 convs — the "fewer, larger ops" direction the
+    round-3 device trace prescribed (BENCH.md: flat profile, ~1800 small
+    fusions). Returns ``[((name, state, stride), (edge_idx, ...)), ...]``
+    sorted by first edge index; the module and the variable converter
+    both call this, so layouts always agree."""
     byk: dict = {}
     for i, (name, idx) in enumerate(edges):
-        if name in ("std_conv_3x3", "std_conv_1x1"):
+        if name in ("std_conv_3x3", "std_conv_1x1", "se_connect"):
             stride = 2 if reduction and idx < 2 else 1
             byk.setdefault((name, idx, stride), []).append(i)
     groups = [(k, tuple(v)) for k, v in byk.items() if len(v) >= 2]
@@ -75,6 +78,49 @@ class SiblingConvGroup(nn.Module):
         return BatchNorm(True, self.dtype)(x, train)
 
 
+class SiblingSEGroup(nn.Module):
+    """K same-input SEBlock edges as one merged squeeze-excitation.
+
+    Exact by construction (both modes): the squeeze
+    ``global_avg_pool(x)`` is identical across the K edges so it runs
+    ONCE; the K first 1x1 convs (C -> C/2) concatenate along output
+    channels into one (C -> K*C/2) conv; the K second 1x1 convs
+    (C/2 -> C) become ONE grouped conv (feature_group_count=K, kernels
+    concatenated along output channels) — block-diagonal, so edge k's
+    excitation reads exactly its own squeeze half. The stride-2 variant
+    (reduce cells) appends the avg-pool + BN tail, both per-channel.
+    Child structure (Conv_0, Conv_1, BatchNorm_0) mirrors SEBlock so the
+    variable transform is the same per-leaf channel concat as
+    SiblingConvGroup (models/augment.py:fuse_sibling_variables). Returns
+    the concatenated (B, H', W', K*C) tensor; the caller slices.
+
+    Caveat: under int8 serving the merged 1x1 convs share one dynamic
+    requant scale across the K edges (fp outputs are identical)."""
+
+    channels: int  # unused (shapes follow x); kept parallel to ConvGroup
+    k: int
+    stride: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        from npp_tpu.ops import pooling
+        from npp_tpu.ops.primitives import BatchNorm
+        c_in = x.shape[-1]
+        w = pooling.global_avg_pool(x)
+        w = nn.relu(Conv(self.k * (c_in // 2), (1, 1),
+                         dtype=self.dtype)(w))
+        w = nn.sigmoid(Conv(self.k * c_in, (1, 1), groups=self.k,
+                            dtype=self.dtype)(w))
+        out = jnp.concatenate(
+            [x * w[..., i * c_in:(i + 1) * c_in] for i in range(self.k)],
+            axis=-1)
+        if self.stride == 1:
+            return out
+        out = pooling.avg_pool(out, 2, 2, 0)
+        return BatchNorm(True, self.dtype)(out, train)
+
+
 class _SiblingMixin:
     """Shared edge-op plumbing for cells that support ``fuse_siblings``.
 
@@ -100,8 +146,12 @@ class _SiblingMixin:
         self._groups = groups
         slot, sib = {}, []
         for g, ((name, _idx, stride), es) in enumerate(groups):
-            ksz, pad = (3, 1) if name == "std_conv_3x3" else (1, 0)
-            sib.append(SiblingConvGroup(c, len(es), ksz, stride, pad, d))
+            if name == "se_connect":
+                sib.append(SiblingSEGroup(c, len(es), stride, d))
+            else:
+                ksz, pad = (3, 1) if name == "std_conv_3x3" else (1, 0)
+                sib.append(SiblingConvGroup(c, len(es), ksz, stride, pad,
+                                            d))
             for s_i, e in enumerate(es):
                 slot[e] = (g, s_i)
         self.sib = sib

@@ -143,10 +143,39 @@ class _Int8Conv(nn.Module):
         bias = (self.param("bias", nn.initializers.zeros,
                            (self.features,), jnp.float32)
                 if self.use_bias else None)
+
+        # int8 v2 (ops/quantize.py docstring): pre-quantized weights in
+        # the 'qconst' collection (sown by prepare_weights, read on
+        # every serve) and calibrated static activation scales in
+        # 'act_scales' (built by calibrate_acts from 'act_stats').
+        # (is_initializing guards keep init's variable tree IDENTICAL to
+        # fp mode — the collections appear only via prepare_weights /
+        # calibrate_acts apply passes.)
+        prepared = None
+        if (self.has_variable("qconst", "qkernel")
+                or (self.is_mutable_collection("qconst")
+                    and not self.is_initializing())):
+            qk = self.variable("qconst", "qkernel",
+                               lambda: quantize.quantize_weight(kernel)[0])
+            ws = self.variable("qconst", "wscale",
+                               lambda: quantize.quantize_weight(kernel)[1])
+            prepared = (qk.value, ws.value)
+
+        act_scale = None
+        if (self.is_mutable_collection("act_stats")
+                and not self.is_initializing()):
+            stat = self.variable("act_stats", "absmax",
+                                 lambda: jnp.zeros((), jnp.float32))
+            stat.value = jnp.maximum(
+                stat.value, jnp.max(jnp.abs(x.astype(jnp.float32))))
+        elif self.has_variable("act_scales", "scale"):
+            act_scale = self.get_variable("act_scales", "scale")
+
         return quantize.int8_conv(x, kernel, bias, stride=self.stride,
                                   padding=self.padding,
                                   dilation=self.dilation,
-                                  out_dtype=self.dtype or x.dtype)
+                                  out_dtype=self.dtype or x.dtype,
+                                  prepared=prepared, act_scale=act_scale)
 
 
 class Zero(nn.Module):

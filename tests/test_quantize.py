@@ -131,6 +131,95 @@ def test_int8_composes_with_fused_necks(tiny_model_bundle):
                                rtol=0, atol=1e-4)
 
 
+def test_prepared_weights_bitwise_equal_dynamic(tiny_model_bundle):
+    """int8 v2 weight prep: serving with the pre-quantized 'qconst' tree
+    must be BITWISE identical to v1's in-graph weight quantization (same
+    math, hoisted out of the forward)."""
+    model, variables, x = tiny_model_bundle
+    xr = jnp.asarray(
+        np.random.default_rng(4).standard_normal(x.shape), jnp.float32)
+    qconst = quantize.prepare_weights(model, variables, x[:1], train=False)
+    # The collection contains int8 kernels + f32 per-channel scales.
+    leaves = jax.tree.leaves(qconst)
+    assert any(a.dtype == jnp.int8 for a in leaves)
+    with quantize.quantized_convs("int8"):
+        pose_a, par_a = model.apply(variables, xr, train=False)
+        pose_b, par_b = model.apply({**variables, "qconst": qconst}, xr,
+                                    train=False)
+    np.testing.assert_array_equal(np.asarray(par_a[-1][0]),
+                                  np.asarray(par_b[-1][0]))
+    np.testing.assert_array_equal(np.asarray(pose_a[-1][0]),
+                                  np.asarray(pose_b[-1][0]))
+
+
+def test_calibrated_static_scales_close(tiny_model_bundle):
+    """int8 v2 static activation scales: calibrating on the serving batch
+    itself must reproduce the dynamic-scale forward closely (first-conv
+    scale is identical; downstream drifts only by requant noise)."""
+    model, variables, x = tiny_model_bundle
+    xr = jnp.asarray(
+        np.random.default_rng(5).standard_normal(x.shape), jnp.float32)
+    qconst = quantize.prepare_weights(model, variables, x[:1], train=False)
+    scales = quantize.calibrate_acts(model, variables, [xr], train=False)
+    assert all(a.ndim == 0 for a in jax.tree.leaves(scales))
+    v_dyn = {**variables, "qconst": qconst}
+    v_sta = {**v_dyn, "act_scales": scales}
+    with quantize.quantized_convs("int8"):
+        _, par_d = model.apply(v_dyn, xr, train=False)
+        _, par_s = model.apply(v_sta, xr, train=False)
+    a = np.asarray(par_d[-1][0], np.float32).ravel()
+    b = np.asarray(par_s[-1][0], np.float32).ravel()
+    assert np.isfinite(b).all()
+    rel = np.linalg.norm(a - b) / max(np.linalg.norm(a), 1e-9)
+    assert rel < 0.05, rel
+
+
+def test_calibration_accumulates_running_max(tiny_model_bundle):
+    """Multi-batch calibration takes the max over batches: scales from
+    [small, large] batches equal scales from [large] alone when 'large'
+    dominates every conv input."""
+    model, variables, x = tiny_model_bundle
+    rng = np.random.default_rng(6)
+    small = jnp.asarray(rng.standard_normal(x.shape) * 1e-3, jnp.float32)
+    large = jnp.asarray(rng.standard_normal(x.shape), jnp.float32)
+    s_both = quantize.calibrate_acts(model, variables, [small, large],
+                                     train=False)
+    s_small = quantize.calibrate_acts(model, variables, [small],
+                                      train=False)
+    s_large = quantize.calibrate_acts(model, variables, [large],
+                                      train=False)
+    for ab, a, b in zip(jax.tree.leaves(s_both), jax.tree.leaves(s_small),
+                        jax.tree.leaves(s_large)):
+        np.testing.assert_array_equal(
+            np.asarray(ab), np.maximum(np.asarray(a), np.asarray(b)))
+
+
+def test_predictor_int8_v2_prepared_and_calibrated(tiny_model_bundle):
+    """Predictor(quantize='int8') pre-quantizes weights at construction
+    (qconst present), and calibrate_int8 installs static activation
+    scales without breaking serving (outputs stay close to the dynamic
+    ones on the calibration distribution)."""
+    from npp_tpu.core.predictor import Predictor
+
+    model, variables, _ = tiny_model_bundle
+    pred = Predictor(model, variables, crop_size=(64, 64),
+                     flip_pairs=((1, 2),), quantize="int8")
+    assert "qconst" in pred.variables
+    assert any(a.dtype == jnp.int8
+               for a in jax.tree.leaves(pred.variables["qconst"]))
+    rng = np.random.default_rng(21)
+    ims = [rng.integers(0, 255, (100, 80, 3)).astype(np.uint8)
+           for _ in range(3)]
+    dyn = pred.predict_batch(ims)
+    pred.calibrate_int8(ims)
+    assert "act_scales" in pred.variables
+    sta = pred.predict_batch(ims)
+    for a, b in zip(dyn, sta):
+        agree = np.mean(a["parsing"] == b["parsing"])
+        assert agree > 0.95, agree
+        assert np.isfinite(b["keypoints"]).all()
+
+
 def test_quantized_convs_context_restores():
     assert quantize.conv_quant_mode() is None
     with quantize.quantized_convs("int8"):
