@@ -588,9 +588,13 @@ def bench_search_step(full_scale: bool = True) -> None:
                                 jnp.float32),
         "pose_weight": jnp.ones((b, 16), jnp.float32),
     }
+    t_warm = time.perf_counter()
     state, m = weight_step(state, batch)
     state, m2 = arch_step(state, batch, jnp.float32(0.0))
     float(m2["loss"])  # force completion of the warmup pair
+    warmup_s = time.perf_counter() - t_warm  # == compile time when the
+    # persistent compilation cache is cold (point JAX_COMPILATION_CACHE_DIR
+    # at an empty dir to measure a true cold compile)
     t0 = time.perf_counter()
     n = 4
     for _ in range(n):
@@ -604,7 +608,8 @@ def bench_search_step(full_scale: bool = True) -> None:
         "vs_baseline": None,
         "extra": {"batch": b, "images_per_sec": round(b / dt, 2),
                   "layers": layers, "init_channels": c, "image": hw,
-                  "full_scale": full_scale},
+                  "full_scale": full_scale,
+                  "warmup_pair_s": round(warmup_s, 1)},
     }))
 
 
