@@ -178,6 +178,16 @@ def decode_pose_validate(pred_pose: jnp.ndarray,
         fl = resize_bilinear(fl, out_hw, align_corners=False)
         fl = fl[:, :, ::-1, :]  # unflip horizontally
         hm = 0.5 * (hm + fl)
+    return decode_pose_fused(hm, crop_param, base_scale,
+                             blur_sigma=blur_sigma, dark=dark)
+
+
+def decode_pose_fused(hm: jnp.ndarray, crop_param: jnp.ndarray,
+                      base_scale: jnp.ndarray, *, blur_sigma: float = 3.0,
+                      dark: bool = False) -> jnp.ndarray:
+    """Decode tail for heatmaps already fused at crop resolution:
+    blur -> argmax (-> DARK) -> inverse crop/scale map. ``hm``:
+    (B, ch, cw, J) flip/scale-fused heatmaps."""
     hm = gaussian_blur(hm, blur_sigma)
     preds, maxvals = get_max_preds(hm)
     if dark:
@@ -191,6 +201,58 @@ def decode_pose_validate(pred_pose: jnp.ndarray,
     x = (preds[..., 0] + dx[:, None]) / s[:, None]
     y = (preds[..., 1] + dy[:, None]) / s[:, None]
     return jnp.stack([x, y, maxvals[..., 0]], axis=-1)
+
+
+def fuse_multiscale_pose(hm: jnp.ndarray, crop_params: jnp.ndarray,
+                         scale_mults: tuple, base_index: int) -> jnp.ndarray:
+    """Fuse per-scale pose heatmaps into base-scale canvas coordinates
+    (the scale-list pose TTA of the reference's standalone tester,
+    utils/eval_util.py:201-227).
+
+    ``hm``: (S, B, H, W, J) heatmaps upsampled to crop resolution, one
+    per scale multiplier; ``crop_params``: (S, B, 1, 8) loader crop
+    params for each scale's canvas. Returns (B, H, W, J).
+
+    TPU-first formulation: instead of the reference's un-crop /
+    cv2.resize / int-rounded center paste, each scale's canvas is
+    resampled onto the base canvas with one bilinear gather over an
+    affine grid derived from the crop params (sub-pixel exact; both
+    canvases are center crops of the same image so the alignment is the
+    same transform the reference approximates). Samples falling outside
+    a scale's VALID (non-padding) region contribute zero, matching the
+    reference's paste-into-zeros; the average divides by the number of
+    scales uniformly (eval_util.py:226)."""
+    s, b, h, w, j = hm.shape
+    cp = crop_params[:, :, 0, :].astype(jnp.float32)        # (S, B, 8)
+    dx = cp[..., 0] - cp[..., 2]                             # crop_s - store_s
+    dy = cp[..., 1] - cp[..., 3]
+    sm = jnp.asarray(scale_mults, jnp.float32)               # (S,)
+    gy = jnp.arange(h, dtype=jnp.float32)
+    gx = jnp.arange(w, dtype=jnp.float32)
+    # Base-canvas pixel p1 maps to original coords X = (p1 + d_base)/s1
+    # and into scale-s canvas at p_s = X * s1 * sm_s - d_s.
+    ys = ((gy[None, None, :] + dy[base_index][None, :, None])
+          * sm[:, None, None] - dy[:, :, None])              # (S, B, H)
+    xs = ((gx[None, None, :] + dx[base_index][None, :, None])
+          * sm[:, None, None] - dx[:, :, None])              # (S, B, W)
+    ys2 = jnp.broadcast_to(ys[..., None], (s, b, h, w))
+    xs2 = jnp.broadcast_to(xs[:, :, None, :], (s, b, h, w))
+    # Zero outside each scale's valid (store) region: the canvas padding
+    # carries model output the reference never pastes.
+    valid = ((xs2 >= cp[..., 2, None, None])
+             & (xs2 <= cp[..., 6, None, None] - 1.0)
+             & (ys2 >= cp[..., 3, None, None])
+             & (ys2 <= cp[..., 7, None, None] - 1.0))
+
+    def sample_one(hm_sb, yy, xx):                           # (H, W, J)
+        def per_j(ch):
+            return jax.scipy.ndimage.map_coordinates(
+                ch, [yy, xx], order=1, mode="constant", cval=0.0)
+        return jax.vmap(per_j, in_axes=-1, out_axes=-1)(hm_sb)
+
+    out = jax.vmap(jax.vmap(sample_one))(hm.astype(jnp.float32), ys2, xs2)
+    out = out * valid[..., None].astype(jnp.float32)
+    return out.mean(axis=0)
 
 
 def flip_parsing_fuse(pred_par: jnp.ndarray, flip_pred_par: jnp.ndarray,

@@ -15,7 +15,8 @@ import jax
 import jax.numpy as jnp
 
 from npp_tpu.core.inference import (FLIPPED_POSEIDX, FLIPPED_POSEIDX_PPP,
-                                    decode_pose_validate, flip_parsing_fuse)
+                                    decode_pose_fused, decode_pose_validate,
+                                    flip_parsing_fuse, fuse_multiscale_pose)
 from npp_tpu.ops.resize import resize_bilinear
 
 
@@ -27,7 +28,8 @@ class Predictor:
                  flip_pairs=((14, 15), (16, 17), (18, 19)),
                  blur_sigma: float = 3.0, quantize: str | None = None,
                  fuse_necks: bool = False, fuse_cells: bool = False,
-                 mesh=None, dark_decode: bool = False):
+                 mesh=None, dark_decode: bool = False,
+                 pose_scales: tuple = (1.0,)):
         """``quantize="int8"`` serves dense convs as int8 MXU ops
         (ops/quantize.py) — same fp checkpoint, opt-in accuracy/
         throughput trade. Weights are pre-quantized ONCE at construction
@@ -53,7 +55,18 @@ class Predictor:
 
         ``dark_decode=True`` refines keypoints with DARK sub-pixel
         decode (``inference.post_process_dark``) — more accurate than
-        the reference's quarter-offset; off by default for parity."""
+        the reference's quarter-offset; off by default for parity.
+
+        ``pose_scales``: scale multipliers for scale-list pose TTA (the
+        reference's standalone tester, utils/eval_util.py:82-268 — bit-
+        rotted there, working here). Must contain 1.0. All scale crops
+        (and their flips) run as ONE batched forward; per-scale heatmaps
+        are flip-fused, resampled into base-canvas coordinates with a
+        sub-pixel affine bilinear gather (inference.fuse_multiscale_pose
+        — the TPU formulation of the reference's un-crop/resize/paste),
+        averaged, then decoded as usual. Parsing output always comes
+        from the 1.0 scale (multi-scale PARSING is core/multiscale.py's
+        job). Incompatible with ``mesh`` for now."""
         if fuse_necks and not getattr(model, "fused_necks", False):
             from npp_tpu.models.augment import fuse_neck_variables
             model = model.clone(fused_necks=True)
@@ -73,6 +86,14 @@ class Predictor:
                 model, variables,
                 jnp.zeros((1, 64, 64, 3), jnp.float32), train=False)
             variables = {**variables, "qconst": qconst}
+        self.pose_scales = tuple(float(s) for s in pose_scales)
+        if 1.0 not in self.pose_scales:
+            raise ValueError("pose_scales must contain the base scale 1.0")
+        self._base_si = self.pose_scales.index(1.0)
+        if len(self.pose_scales) > 1 and mesh is not None:
+            raise NotImplementedError(
+                "pose_scales TTA is single-chip for now (use the scanned "
+                "mesh eval / core.multiscale for sharded TTA)")
         self.mesh = mesh
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
@@ -138,8 +159,44 @@ class Predictor:
                                       dark=dark_decode)
             return jnp.argmax(par, axis=-1).astype(jnp.uint8), kp
 
+        def serve_ms(variables, image_u8, crop_params, scales):
+            # Scale-list pose TTA: image_u8 (S, B, ch, cw, 3), one crop
+            # per scale multiplier; crop_params (S, B, 1, 8). Direct +
+            # flipped forwards over the flattened S*B batch, per-scale
+            # flip fusion, affine resample into base-canvas coords,
+            # average, decode (reference eval_util.py:82-268 protocol).
+            ch_, cw_ = self.crop_size[1], self.crop_size[0]
+            s, b = image_u8.shape[:2]
+            flat = image_u8.reshape((s * b,) + image_u8.shape[2:])
+            pose_hm, par_logits = fwd(variables, flat)
+            n_j = pose_hm.shape[-1]
+            fidx = (FLIPPED_POSEIDX if n_j == 16 else FLIPPED_POSEIDX_PPP
+                    if n_j == 14 else tuple(range(n_j)))
+            par_b = par_logits.reshape((s, b) + par_logits.shape[1:])[
+                self._base_si]
+            par = resize_bilinear(par_b, (ch_, cw_), align_corners=False)
+            hm = resize_bilinear(pose_hm, (ch_, cw_), align_corners=False)
+            if self.flip_test:
+                fhm, fpar = fwd(variables, flat[:, :, ::-1, :])
+                fpar_b = fpar.reshape((s, b) + fpar.shape[1:])[
+                    self._base_si]
+                fpar_up = resize_bilinear(fpar_b, (ch_, cw_),
+                                          align_corners=False)
+                par = flip_parsing_fuse(par, fpar_up, self.flip_pairs)
+                fl = fhm[..., jnp.asarray(fidx[:n_j])]
+                fl = resize_bilinear(fl, (ch_, cw_), align_corners=False)
+                hm = 0.5 * (hm + fl[:, :, ::-1, :])
+            hm = hm.reshape((s, b, ch_, cw_, n_j))
+            ms = fuse_multiscale_pose(hm, crop_params, self.pose_scales,
+                                      self._base_si)
+            kp = decode_pose_fused(ms, crop_params[self._base_si], scales,
+                                   blur_sigma=self.blur_sigma,
+                                   dark=dark_decode)
+            return jnp.argmax(par, axis=-1).astype(jnp.uint8), kp
+
         self._fwd = jax.jit(fwd)
-        self._serve = jax.jit(serve)
+        self._serve = jax.jit(
+            serve if len(self.pose_scales) == 1 else serve_ms)
 
     def calibrate_int8(self, images, *, batch_size: int = 8):
         """Install calibrated STATIC int8 activation scales (int8 v2).
@@ -175,11 +232,13 @@ class Predictor:
                 scales, NamedSharding(self.mesh, PartitionSpec()))
         self.variables = {**self.variables, "act_scales": scales}
 
-    def preprocess(self, im_rgb: np.ndarray):
+    def preprocess(self, im_rgb: np.ndarray, scale_mult: float = 1.0):
         """Eval-path geometry (data_loader.py:221-237): long-side scale to
-        crop size, center crop, normalize."""
+        crop size, center crop, normalize. ``scale_mult`` multiplies the
+        base scale (scale-list TTA crops, eval_util.py:106-112)."""
         cw, ch = self.crop_size
-        scale = float(cw) / max(im_rgb.shape[0], im_rgb.shape[1])
+        scale = scale_mult * float(cw) / max(im_rgb.shape[0],
+                                             im_rgb.shape[1])
         scaled = cv2.resize(im_rgb, None, fx=scale, fy=scale,
                             interpolation=cv2.INTER_CUBIC)
         h, w = scaled.shape[:2]
@@ -239,6 +298,9 @@ class Predictor:
             scales = np.concatenate(
                 [scales, np.repeat(scales[-1:], reps)])
 
+        if len(self.pose_scales) > 1:
+            return self._predict_multiscale(canvases, crop_params, scales,
+                                            images, n, padded)
         if self.mesh is not None:
             # One host-side-sliced transfer straight to the mesh sharding
             # (jnp.asarray first would commit the full batch to one chip
@@ -254,6 +316,35 @@ class Predictor:
 
         return [self._postprocess(images[i], par_crops[i],
                                   crop_params[i], scales[i], kp[i])
+                for i in range(n)]
+
+    def _predict_multiscale(self, base_canvases, base_cp, scales,
+                            images, n, padded):
+        # Assemble the (S, B, ...) scale-crop stack; the base row reuses
+        # the already-preprocessed (and padded) canvases.
+        canv_rows, cp_rows = [], []
+        for si, sm in enumerate(self.pose_scales):
+            if si == self._base_si:
+                canv_rows.append(base_canvases)
+                cp_rows.append(base_cp)
+                continue
+            ps = [self.preprocess(im, scale_mult=sm) for im in images]
+            cv = np.stack([p[0] for p in ps])
+            cp = np.stack([p[1] for p in ps])
+            if padded != n:
+                reps = padded - n
+                cv = np.concatenate([cv, np.repeat(cv[-1:], reps, axis=0)])
+                cp = np.concatenate([cp, np.repeat(cp[-1:], reps, axis=0)])
+            canv_rows.append(cv)
+            cp_rows.append(cp)
+        par_crops, kp = self._serve(self.variables,
+                                    jnp.asarray(np.stack(canv_rows)),
+                                    jnp.asarray(np.stack(cp_rows)),
+                                    jnp.asarray(scales))
+        par_crops = np.asarray(par_crops)
+        kp = np.asarray(kp)
+        return [self._postprocess(images[i], par_crops[i],
+                                  base_cp[i], scales[i], kp[i])
                 for i in range(n)]
 
     def predict_stream(self, images, *, batch_size: int = 8,

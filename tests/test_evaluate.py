@@ -135,3 +135,44 @@ def test_predictor_stream_matches_batch(tiny_model_bundle):
     for s, d in zip(streamed, direct):
         np.testing.assert_array_equal(s["parsing"], d["parsing"])
         np.testing.assert_array_equal(s["keypoints"], d["keypoints"])
+
+
+def test_predictor_pose_scales(tiny_model_bundle):
+    """Scale-list pose TTA (Predictor(pose_scales=...)): one batched
+    forward over all scale crops; parsing comes from the base scale (so
+    it matches the single-scale predictor), keypoints decode in-bounds.
+    The working version of the reference's bit-rotted multi-scale pose
+    tester (utils/eval_util.py:82-268)."""
+    import pytest
+
+    from npp_tpu.core.predictor import Predictor
+
+    model, variables, _ = tiny_model_bundle
+    rng = np.random.default_rng(11)
+    ims = [rng.integers(0, 255, (100, 80, 3)).astype(np.uint8),
+           rng.integers(0, 255, (64, 90, 3)).astype(np.uint8)]
+    single = Predictor(model, variables, crop_size=(64, 64),
+                       flip_pairs=((1, 2),))
+    ms = Predictor(model, variables, crop_size=(64, 64),
+                   flip_pairs=((1, 2),), pose_scales=(0.75, 1.0, 1.25))
+    outs_s = single.predict_batch(ims)
+    outs_m = ms.predict_batch(ims)
+    for o_s, o_m, im in zip(outs_s, outs_m, ims):
+        # Base-scale parsing through a separately compiled program:
+        # near-tie argmax pixels may flip under fusion reassociation.
+        agree = np.mean(o_s["parsing"] == o_m["parsing"])
+        assert agree > 0.999, agree
+        kp = o_m["keypoints"]
+        assert kp.shape == o_s["keypoints"].shape
+        assert np.isfinite(kp).all()
+        # Peaks live anywhere on the BASE canvas (untrained model: also
+        # in its padding), so decoded coords span the canvas back-
+        # projection, not the image bounds.
+        _, cp, s = ms.preprocess(im)
+        lo = (np.array([0.0, 0.0]) + cp[0, :2] - cp[0, 2:4]) / s
+        hi = (np.array([63.0, 63.0]) + cp[0, :2] - cp[0, 2:4]) / s
+        assert (kp[:, :2] >= lo - 1).all() and (kp[:, :2] <= hi + 1).all()
+
+    with pytest.raises(ValueError, match="must contain"):
+        Predictor(model, variables, crop_size=(64, 64),
+                  pose_scales=(0.8, 1.2))

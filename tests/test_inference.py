@@ -151,3 +151,59 @@ def test_decode_pose_validate_dark():
                                         **kw))
     assert np.abs(a[..., :2] - b[..., :2]).max() < 1.0
     np.testing.assert_allclose(a[..., 2], b[..., 2])  # scores unchanged
+
+
+def test_fuse_multiscale_pose_single_scale_identity():
+    """S=1 with sm=1 and a full-canvas valid region is an identity
+    resample (bilinear at integer coordinates)."""
+    rng = np.random.default_rng(4)
+    hm = rng.random((1, 2, 32, 32, 3)).astype(np.float32)
+    # [crop_sx, crop_sy, store_sx, store_sy, crop_ex, crop_ey,
+    #  store_ex, store_ey] — valid region covers the whole canvas.
+    cp = np.zeros((1, 2, 1, 8), np.float32)
+    cp[..., 4:] = 32.0
+    out = np.asarray(inf.fuse_multiscale_pose(jnp.asarray(hm),
+                                              jnp.asarray(cp), (1.0,), 0))
+    np.testing.assert_allclose(out, hm[0], atol=1e-6)
+
+
+def test_fuse_multiscale_pose_alignment_through_decode():
+    """End-to-end scale-list alignment: a peak planted at the SAME
+    original-image point in each scale's canvas must fuse constructively
+    and decode back to that point (reference eval_util.py:82-268
+    protocol, sub-pixel affine formulation)."""
+    from npp_tpu.core.inference import decode_pose_fused
+
+    class _Geom:  # only Predictor.preprocess geometry, no model needed
+        crop_size = (64, 64)
+        from npp_tpu.core.predictor import Predictor as _P
+        preprocess = _P.preprocess
+
+    g = _Geom()
+    im = np.zeros((100, 80, 3), np.uint8)
+    scale_mults = (0.75, 1.0, 1.25)
+    x_orig = np.array([40.0, 30.0])  # (x, y) in original coords
+    hms, cps = [], []
+    base = None
+    for sm in scale_mults:
+        _, cp, s = g.preprocess(im, scale_mult=sm)
+        if sm == 1.0:
+            base = (cp, s)
+        # p = x*scale - crop_start + store_start (inverse of the decode
+        # map); plant a delta at the rounded pixel.
+        px = int(round(x_orig[0] * s - cp[0, 0] + cp[0, 2]))
+        py = int(round(x_orig[1] * s - cp[0, 1] + cp[0, 3]))
+        hm = np.zeros((1, 64, 64, 1), np.float32)
+        hm[0, py, px, 0] = 1.0
+        hms.append(hm)
+        cps.append(cp[None])
+    fused = inf.fuse_multiscale_pose(jnp.asarray(np.stack(hms)),
+                                     jnp.asarray(np.stack(cps)),
+                                     scale_mults, 1)
+    kp = np.asarray(decode_pose_fused(fused, jnp.asarray(base[0][None]),
+                                      jnp.asarray([base[1]], np.float32),
+                                      blur_sigma=3.0))
+    # Rounding of the planted pixel is +-0.5 canvas px per scale; the
+    # inverse map divides by scale (0.64) -> allow ~2.5 px.
+    assert np.abs(kp[0, 0, :2] - x_orig).max() < 2.5, kp
+    assert kp[0, 0, 2] > 0

@@ -63,6 +63,11 @@ def main():
                    help="DARK sub-pixel keypoint decode "
                         "(arXiv:1910.06278; more accurate than the "
                         "reference quarter-offset)")
+    p.add_argument("--pose-scales", default="",
+                   help="comma list of scale multipliers for scale-list "
+                        "pose TTA, e.g. 0.8,1.0,1.2 (must include 1.0; "
+                        "the working version of the reference's "
+                        "eval_util.py multi-scale pose tester)")
     p.add_argument("--synthetic", type=int, default=0, metavar="N",
                    help="predict N random images instead of --images")
     p.add_argument("--tiny", action="store_true")
@@ -83,10 +88,13 @@ def main():
                                                   args.tiny,
                                                   genotype=args.genotype)
 
+    pose_scales = (tuple(float(s) for s in args.pose_scales.split(","))
+                   if args.pose_scales else (1.0,))
     pred = Predictor(model, variables, crop_size=size,
                      flip_test=not args.no_flip,
                      quantize="int8" if args.int8 else None,
-                     fuse_necks=args.fuse_necks, dark_decode=args.dark)
+                     fuse_necks=args.fuse_necks, dark_decode=args.dark,
+                     pose_scales=pose_scales)
 
     if args.synthetic:
         rng = np.random.default_rng(0)
