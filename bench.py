@@ -548,7 +548,8 @@ def bench_search_e2e(n_images: int = 28) -> None:
     }))
 
 
-def bench_search_step(full_scale: bool = True) -> None:
+def bench_search_step(full_scale: bool = True,
+                      vmap_injections: bool = True) -> None:
     """BASELINE.json config 5: supernet search step (fwd+bwd, weight+arch).
 
     Default: the REFERENCE search scale — layers=16, C=32, batch 7, 384px
@@ -556,9 +557,13 @@ def bench_search_step(full_scale: bool = True) -> None:
     program at this scale needs the supernet's rematerialized cells +
     vmapped fusion groups and a small-resolution init (param shapes are
     H/W-independent); first compile is ~20-40 min on the dev relay,
-    cached afterwards. ``full_scale=False`` runs the round-1 proxy
-    (layers=8, C=16, 192px) which preserves all four scales and every
-    searchable site.
+    cached afterwards (``warmup_pair_s`` reports it — point
+    JAX_COMPILATION_CACHE_DIR at an empty dir for a true cold compile).
+    ``full_scale=False`` runs the round-1 proxy (layers=8, C=16, 192px)
+    which preserves all four scales and every searchable site.
+    ``vmap_injections=False`` measures the pre-round-4 unrolled
+    injection layout (the ``search_novmap`` config) so the default-on
+    graph rewrite has a published number on both axes.
     """
     from npp_tpu.core import search as S
     from npp_tpu.core.criterion import LIP_CLASS_WEIGHTS
@@ -566,7 +571,8 @@ def bench_search_step(full_scale: bool = True) -> None:
 
     layers, c, hw = (16, 32, 384) if full_scale else (8, 16, 192)
     model = SearchNet(num_classes=20, num_joints=16, layers=layers,
-                      init_channels=c, refine_layers=1, dtype=jnp.bfloat16)
+                      init_channels=c, refine_layers=1,
+                      vmap_injections=vmap_injections, dtype=jnp.bfloat16)
     w_tx, a_tx = S.make_search_optimizers(w_lr=1e-3, alpha_lr=1e-3,
                                           lr_step=(70,), lr_factor=0.2,
                                           steps_per_epoch=100)
@@ -609,6 +615,7 @@ def bench_search_step(full_scale: bool = True) -> None:
         "extra": {"batch": b, "images_per_sec": round(b / dt, 2),
                   "layers": layers, "init_channels": c, "image": hw,
                   "full_scale": full_scale,
+                  "vmap_injections": vmap_injections,
                   "warmup_pair_s": round(warmup_s, 1)},
     }))
 
@@ -619,7 +626,7 @@ def main() -> None:
                    choices=["infer", "infer_int8", "infer_int8prep",
                             "infer_int8static", "infer_fused",
                             "infer_merged", "infer_cellfused", "infer_cellfused_necks",
-                            "eval", "pipeline", "search",
+                            "eval", "pipeline", "search", "search_novmap",
                             "train", "ppp_ms", "train_e2e", "search_e2e",
                             "predict", "predict_int8", "int8_envelope"])
     p.add_argument("--repeat", type=int, default=1,
@@ -640,7 +647,9 @@ def main() -> None:
      "infer_cellfused_necks": lambda: bench_infer(
          fused_cells=True, fused_necks=True, repeat=rep),
      "eval": bench_eval, "pipeline": bench_pipeline,
-     "search": bench_search_step, "train": bench_train,
+     "search": bench_search_step,
+     "search_novmap": lambda: bench_search_step(vmap_injections=False),
+     "train": bench_train,
      "ppp_ms": bench_ppp_multiscale, "train_e2e": bench_train_e2e,
      "search_e2e": bench_search_e2e, "predict": bench_predict,
      "predict_int8": lambda: bench_predict(quantize="int8"),

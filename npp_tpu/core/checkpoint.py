@@ -46,9 +46,14 @@ class CheckpointManager:
         mirrors and `wait()` are synchronous barriers."""
         meta = {"epoch": int(epoch), **(metrics or {})}
         self._mgr.save(epoch, args=ocp.args.StandardSave(state))
-        with open(os.path.join(self.directory, f"meta_{epoch}.json"),
-                  "w") as f:
-            json.dump(meta, f)
+        # Orbax coordinates the array writes itself (primary-host only);
+        # the sidecar/metadata host files are process-0-only, like the
+        # reference's rank-0 checkpointing (search_lip_sync.py:357-394) —
+        # every process still CALLS save (the orbax ops are collective).
+        if jax.process_index() == 0:
+            with open(os.path.join(self.directory, f"meta_{epoch}.json"),
+                      "w") as f:
+                json.dump(meta, f)
         if is_best:
             self._save_named(self._named_dir("best"), state, meta)
         if tag in ("warmed", "final"):
@@ -60,13 +65,20 @@ class CheckpointManager:
         self._mgr.wait_until_finished()
 
     def _save_named(self, path: str, state, meta) -> None:
-        if os.path.exists(path):
+        primary = jax.process_index() == 0
+        if primary and os.path.exists(path):
             shutil.rmtree(path)
+        if jax.process_count() > 1:
+            # Everyone waits for the primary's cleanup before the
+            # collective save touches the path.
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices("ckpt_named_rm:" + path)
         ckptr = ocp.StandardCheckpointer()
         ckptr.save(path, state)
         ckptr.wait_until_finished()
-        with open(self._meta_path(path), "w") as f:
-            json.dump(meta, f)
+        if primary:
+            with open(self._meta_path(path), "w") as f:
+                json.dump(meta, f)
 
     def latest_epoch(self) -> Optional[int]:
         return self._mgr.latest_step()

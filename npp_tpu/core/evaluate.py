@@ -107,19 +107,20 @@ def make_eval_step_body(model, *, num_classes: int, class_weights,
     return step
 
 
-def make_eval_step(model, **kw):
+def make_eval_step(model, n_data: int = 1, **kw):
     """Jitted per-batch eval step (see make_eval_step_body).
 
-    Performance: per-device batches should be multiples of 8 — other
+    Performance: PER-DEVICE batches should be multiples of 8 — other
     sizes underfill the v5e register tile (measured 3.3x/img collapse at
     bs12; BENCH.md batch-size profile). Warns via
-    ``train.warn_batch_tiling``."""
+    ``train.warn_batch_tiling``; pass ``n_data`` (the active mesh's
+    data-axis size) when feeding unsharded global batches."""
     from npp_tpu.core.train import warn_batch_tiling
 
     jitted = jax.jit(make_eval_step_body(model, **kw))
 
     def wrapped(params, batch_stats, batch):
-        warn_batch_tiling(batch["image"].shape[0], "eval_step")
+        warn_batch_tiling(batch["image"], "eval_step", n_data)
         return jitted(params, batch_stats, batch)
 
     return wrapped

@@ -243,6 +243,13 @@ def fuse_multiscale_pose(hm: jnp.ndarray, crop_params: jnp.ndarray,
              & (xs2 <= cp[..., 6, None, None] - 1.0)
              & (ys2 >= cp[..., 3, None, None])
              & (ys2 <= cp[..., 7, None, None] - 1.0))
+    # Clamp sample coords into the valid pixel range [store_s, store_e-1]
+    # before the order-1 gather so no bilinear support ever touches the
+    # padding-region model output at store_e (the reference's hard crop,
+    # eval_util.py:207, excludes it); masked-out samples are zeroed below
+    # regardless, so this only affects the boundary epsilon.
+    xs2 = jnp.clip(xs2, cp[..., 2, None, None], cp[..., 6, None, None] - 1.0)
+    ys2 = jnp.clip(ys2, cp[..., 3, None, None], cp[..., 7, None, None] - 1.0)
 
     def sample_one(hm_sb, yy, xx):                           # (H, W, J)
         def per_j(ch):

@@ -66,7 +66,10 @@ class Predictor:
         — the TPU formulation of the reference's un-crop/resize/paste),
         averaged, then decoded as usual. Parsing output always comes
         from the 1.0 scale (multi-scale PARSING is core/multiscale.py's
-        job). Incompatible with ``mesh`` for now."""
+        job). Composes with ``mesh``: the scale-crop stack is flattened
+        batch-major to (B*S, ...) on the host so the data-axis sharding
+        on dim 0 survives the in-jit (B, S) reshape; the fusion math is
+        unchanged."""
         if fuse_necks and not getattr(model, "fused_necks", False):
             from npp_tpu.models.augment import fuse_neck_variables
             model = model.clone(fused_necks=True)
@@ -90,10 +93,6 @@ class Predictor:
         if 1.0 not in self.pose_scales:
             raise ValueError("pose_scales must contain the base scale 1.0")
         self._base_si = self.pose_scales.index(1.0)
-        if len(self.pose_scales) > 1 and mesh is not None:
-            raise NotImplementedError(
-                "pose_scales TTA is single-chip for now (use the scanned "
-                "mesh eval / core.multiscale for sharded TTA)")
         self.mesh = mesh
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
@@ -159,34 +158,37 @@ class Predictor:
                                       dark=dark_decode)
             return jnp.argmax(par, axis=-1).astype(jnp.uint8), kp
 
-        def serve_ms(variables, image_u8, crop_params, scales):
-            # Scale-list pose TTA: image_u8 (S, B, ch, cw, 3), one crop
-            # per scale multiplier; crop_params (S, B, 1, 8). Direct +
-            # flipped forwards over the flattened S*B batch, per-scale
-            # flip fusion, affine resample into base-canvas coords,
-            # average, decode (reference eval_util.py:82-268 protocol).
+        def serve_ms(variables, flat_u8, crop_params, scales):
+            # Scale-list pose TTA: flat_u8 (B*S, ch, cw, 3), the
+            # batch-major host flatten of one crop per scale multiplier
+            # (b-index major so a mesh data-axis sharding on dim 0
+            # survives the (B, S) reshape below); crop_params
+            # (S, B, 1, 8). Direct + flipped forwards over the flattened
+            # batch, per-scale flip fusion, affine resample into
+            # base-canvas coords, average, decode (reference
+            # eval_util.py:82-268 protocol).
             ch_, cw_ = self.crop_size[1], self.crop_size[0]
-            s, b = image_u8.shape[:2]
-            flat = image_u8.reshape((s * b,) + image_u8.shape[2:])
-            pose_hm, par_logits = fwd(variables, flat)
+            s = len(self.pose_scales)
+            b = flat_u8.shape[0] // s
+            pose_hm, par_logits = fwd(variables, flat_u8)
             n_j = pose_hm.shape[-1]
             fidx = (FLIPPED_POSEIDX if n_j == 16 else FLIPPED_POSEIDX_PPP
                     if n_j == 14 else tuple(range(n_j)))
-            par_b = par_logits.reshape((s, b) + par_logits.shape[1:])[
-                self._base_si]
+            par_b = par_logits.reshape((b, s) + par_logits.shape[1:])[
+                :, self._base_si]
             par = resize_bilinear(par_b, (ch_, cw_), align_corners=False)
             hm = resize_bilinear(pose_hm, (ch_, cw_), align_corners=False)
             if self.flip_test:
-                fhm, fpar = fwd(variables, flat[:, :, ::-1, :])
-                fpar_b = fpar.reshape((s, b) + fpar.shape[1:])[
-                    self._base_si]
+                fhm, fpar = fwd(variables, flat_u8[:, :, ::-1, :])
+                fpar_b = fpar.reshape((b, s) + fpar.shape[1:])[
+                    :, self._base_si]
                 fpar_up = resize_bilinear(fpar_b, (ch_, cw_),
                                           align_corners=False)
                 par = flip_parsing_fuse(par, fpar_up, self.flip_pairs)
                 fl = fhm[..., jnp.asarray(fidx[:n_j])]
                 fl = resize_bilinear(fl, (ch_, cw_), align_corners=False)
                 hm = 0.5 * (hm + fl[:, :, ::-1, :])
-            hm = hm.reshape((s, b, ch_, cw_, n_j))
+            hm = hm.reshape((b, s, ch_, cw_, n_j)).transpose(1, 0, 2, 3, 4)
             ms = fuse_multiscale_pose(hm, crop_params, self.pose_scales,
                                       self._base_si)
             kp = decode_pose_fused(ms, crop_params[self._base_si], scales,
@@ -337,8 +339,18 @@ class Predictor:
                 cp = np.concatenate([cp, np.repeat(cp[-1:], reps, axis=0)])
             canv_rows.append(cv)
             cp_rows.append(cp)
-        par_crops, kp = self._serve(self.variables,
-                                    jnp.asarray(np.stack(canv_rows)),
+        # Batch-major flatten (B, S) -> (B*S): a mesh data-axis sharding
+        # on dim 0 then slices whole per-image scale groups, and the
+        # in-jit reshape back to (B, S) keeps dim 0 sharded.
+        stack = np.stack(canv_rows)                      # (S, B, ...)
+        flat = np.ascontiguousarray(
+            stack.transpose((1, 0) + tuple(range(2, stack.ndim)))
+        ).reshape((-1,) + stack.shape[2:])
+        if self.mesh is not None:
+            flat = jax.device_put(flat, self._batch_sharding)
+        else:
+            flat = jnp.asarray(flat)
+        par_crops, kp = self._serve(self.variables, flat,
                                     jnp.asarray(np.stack(cp_rows)),
                                     jnp.asarray(scales))
         par_crops = np.asarray(par_crops)

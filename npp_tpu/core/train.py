@@ -179,15 +179,33 @@ def make_train_step_body(model, tx, *, class_weights,
 _warned_batch_sizes: set = set()
 
 
-def warn_batch_tiling(n: int, where: str) -> None:
-    """Warn (once per call-site and size) when a batch is not a multiple
-    of 8: v5e sublane/register-tile packing collapses on such batches —
-    measured bs12 runs 3.3x worse per image than bs8/16 (BENCH.md
-    batch-size profile). Predictor pads automatically
+def warn_batch_tiling(image, where: str, n_data: int = 1) -> None:
+    """Warn (once per call-site and size) when the PER-DEVICE batch is not
+    a multiple of 8: v5e sublane/register-tile packing collapses on such
+    batches — measured bs12 runs 3.3x worse per image than bs8/16
+    (BENCH.md batch-size profile). Predictor pads automatically
     (core/predictor.py); the raw step APIs warn instead of silently
-    hitting the cliff (VERDICT r3 weak item 4)."""
+    hitting the cliff (VERDICT r3 weak item 4).
+
+    ``image`` is the batch image array (or an int batch size for legacy
+    callers). The measured cliff is per-device: a global bs16 on a 4-way
+    data mesh runs per-device bs4, squarely in the collapse regime, while
+    global bs32 on the same mesh is fine. If ``image`` is a committed
+    ``jax.Array`` the per-device size is read off its sharding; otherwise
+    the global size is divided by ``n_data`` (the active mesh's data-axis
+    size, default 1 = single device)."""
     import warnings
 
+    if isinstance(image, int):
+        n = image
+    else:
+        n = int(image.shape[0])
+        try:  # committed jax.Array: exact per-device shard size
+            n = int(image.sharding.shard_shape(image.shape)[0])
+            n_data = 1
+        except Exception:
+            pass  # numpy / uncommitted: fall through to n_data
+    n = max(1, n // max(1, n_data))
     if n % 8 and (where, n) not in _warned_batch_sizes:
         _warned_batch_sizes.add((where, n))
         warnings.warn(
@@ -201,7 +219,7 @@ def make_train_step(model, tx, *, class_weights,
                     ignore_index: int = 255, ohem_thres: float = 0.9,
                     ohem_keep: int = 131072, donate: bool = True,
                     use_target_weight: bool = False, task: str = "both",
-                    criterion_grad_accum: bool = True):
+                    criterion_grad_accum: bool = True, n_data: int = 1):
     """Build the jitted train step. Under a sharded batch, XLA inserts the
     gradient all-reduce (DDP's role) and global BN moments (SyncBN's role)
     automatically.
@@ -223,7 +241,7 @@ def make_train_step(model, tx, *, class_weights,
     jitted = jax.jit(step, donate_argnums=(0,) if donate else ())
 
     def wrapped(state, batch):
-        warn_batch_tiling(batch["image"].shape[0], "train_step")
+        warn_batch_tiling(batch["image"], "train_step", n_data)
         return jitted(state, batch)
 
     return wrapped

@@ -14,6 +14,9 @@ from npp_tpu.core import search as S
 from npp_tpu.core.criterion import LIP_CLASS_WEIGHTS
 from npp_tpu.models.search import SearchNet
 
+# Slow tier: compile-heavy / subprocess / reference-scale (see pytest.ini).
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def tiny_search():

@@ -8,6 +8,9 @@ import jax.numpy as jnp
 
 from npp_tpu.core.checkpoint import CheckpointManager, load_pretrained_params
 
+# Slow tier: compile-heavy / subprocess / reference-scale (see pytest.ini).
+pytestmark = pytest.mark.slow
+
 
 def _state(value: float):
     return {"params": {"w": jnp.full((2, 2), value)},

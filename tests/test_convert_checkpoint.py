@@ -17,6 +17,9 @@ torch = pytest.importorskip("torch")
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
+# Slow tier: compile-heavy / subprocess / reference-scale (see pytest.ini).
+pytestmark = pytest.mark.slow
+
 
 def test_extract_state_dict_variants():
     sys.path.insert(0, "tools")

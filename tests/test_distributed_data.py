@@ -11,6 +11,10 @@ import numpy as np
 
 from npp_tpu.data.loader import DataLoader
 from npp_tpu.data.synthetic import SyntheticDataset
+import pytest
+
+# Slow tier: compile-heavy / subprocess / reference-scale (see pytest.ini).
+pytestmark = pytest.mark.slow
 
 
 def _all_indices(loader):

@@ -11,6 +11,9 @@ from npp_tpu.core import train as T
 from npp_tpu.core.criterion import PASCAL_CLASS_WEIGHTS
 from npp_tpu.data import DataLoader, SyntheticDataset, make_target_renderer
 
+# Slow tier: compile-heavy / subprocess / reference-scale (see pytest.ini).
+pytestmark = pytest.mark.slow
+
 
 def test_scanned_matches_per_batch(tiny_model_bundle):
     model, variables, _ = tiny_model_bundle

@@ -116,6 +116,7 @@ def test_predictor_batch_padding_is_invisible(tiny_model_bundle):
         np.testing.assert_array_equal(a["keypoints"], b["keypoints"])
 
 
+@pytest.mark.slow
 def test_predictor_stream_matches_batch(tiny_model_bundle):
     """predict_stream (prefetch-threaded serving loop) must yield the
     same results in the same order as predict_batch."""
@@ -137,6 +138,7 @@ def test_predictor_stream_matches_batch(tiny_model_bundle):
         np.testing.assert_array_equal(s["keypoints"], d["keypoints"])
 
 
+@pytest.mark.slow
 def test_predictor_pose_scales(tiny_model_bundle):
     """Scale-list pose TTA (Predictor(pose_scales=...)): one batched
     forward over all scale crops; parsing comes from the base scale (so

@@ -19,6 +19,9 @@ import sys
 
 import pytest
 
+# Slow tier: compile-heavy / subprocess / reference-scale (see pytest.ini).
+pytestmark = pytest.mark.slow
+
 WORKER = r"""
 import os, sys
 import numpy as np
@@ -38,6 +41,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from npp_tpu.data.loader import DataLoader
 from npp_tpu.data.synthetic import SyntheticDataset
 from npp_tpu.parallel.mesh import make_mesh
+
 
 mesh = make_mesh()
 assert mesh.devices.size == 2
@@ -245,6 +249,59 @@ def _free_port():
     port = s.getsockname()[1]
     s.close()
     return port
+
+
+def test_two_process_augment_cli(tmp_path):
+    """The REAL training entry point (tools/augment_lip.py) as two
+    rendezvoused processes (VERDICT r4 item 7): the composition of
+    initialize_distributed + sharded loader + SPMD train step + allgather
+    eval merge + process-0 checkpointing, end-to-end through the CLI —
+    the launch shape of reference ``torch.distributed.launch --nproc_per_node``
+    (search_lip_sync.py:133-140, :357-394). Both ranks must report
+    IDENTICAL eval metrics (the merge is global), and the run directory
+    must hold a restorable final checkpoint."""
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    port = _free_port()
+    procs = []
+    for rank in range(2):
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["JAX_PLATFORM_NAME"] = "cpu"
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+        env["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
+        env["JAX_NUM_PROCESSES"] = "2"
+        env["JAX_PROCESS_ID"] = str(rank)
+        env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+        env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "1"
+        procs.append(subprocess.Popen(
+            [sys.executable, os.path.join(repo, "tools", "augment_lip.py"),
+             "--cfg", os.path.join(repo, "experiments/lip/384_384.yaml"),
+             "--synthetic", "--tiny", "--steps", "2", "--epochs", "2"],
+            env=env, cwd=tmp_path,  # output/ + log/ land in tmp_path
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+    outs = [p.communicate(timeout=3000) for p in procs]
+    metrics = []
+    for rank, (out, err) in enumerate(outs):
+        assert procs[rank].returncode == 0, (rank, out[-2000:], err[-3000:])
+        m = re.findall(r"epoch (\d+): loss ([\d.]+) mIoU ([\d.]+) "
+                       r"PCKh ([\d.]+)", out)
+        assert len(m) == 2, (rank, out[-2000:])
+        metrics.append(m)
+    # The eval merge is global (process_allgather + index reorder): every
+    # rank computes the SAME loss/mIoU/PCKh for every epoch.
+    assert metrics[0] == metrics[1], metrics
+    # Checkpoints: one shared run dir, epoch saves + final, restorable.
+    ckdir = (tmp_path / "output" / "lip" / "augment" / "384_384"
+             / "checkpoints")
+    assert ckdir.is_dir(), list((tmp_path / "output").rglob("*"))
+    assert (ckdir / "final" / "meta.json").exists()
+    assert (ckdir / "meta_1.json").exists()
+    import json as _json
+    meta = _json.loads((ckdir / "final" / "meta.json").read_text())
+    assert meta["epoch"] == 1, meta
 
 
 def test_two_process_distributed_data_parallel(tmp_path):

@@ -18,6 +18,11 @@ import socket
 import subprocess
 import sys
 
+import pytest
+
+# Slow tier: compile-heavy / subprocess / reference-scale (see pytest.ini).
+pytestmark = pytest.mark.slow
+
 WORKER = r"""
 import numpy as np
 

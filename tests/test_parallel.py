@@ -10,6 +10,9 @@ import sys
 
 import pytest
 
+# Slow tier: compile-heavy / subprocess / reference-scale (see pytest.ini).
+pytestmark = pytest.mark.slow
+
 
 def _run_in_mesh_env(code: str, n_devices: int = 8, timeout: int = 2700):
     # Generous timeout: 8 virtual devices share this 1-core host, and a
@@ -58,6 +61,7 @@ def test_tensor_parallel_matches_single_device():
     full train step on a (data=2, space=2, model=2) 3-D mesh."""
     code = """
 import numpy as np, jax, jax.numpy as jnp
+
 from npp_tpu.core import train as T
 from npp_tpu.core.criterion import LIP_CLASS_WEIGHTS
 from npp_tpu.models.augment import NPPNet
@@ -149,6 +153,49 @@ print("PREDICTOR_DP_OK")
 """
     r = _run_in_mesh_env(code, timeout=1800)
     assert "PREDICTOR_DP_OK" in r.stdout, (r.stdout, r.stderr[-2000:])
+
+
+def test_pose_scales_predictor_on_mesh():
+    """Scale-list pose TTA composes with data-parallel serving
+    (VERDICT r4 item 9): Predictor(mesh=..., pose_scales=...) must match
+    the single-device ms predictor — the (B*S) scale-crop batch is
+    sharded over `data`, the fusion math unchanged. Continuous outputs
+    compare tightly; argmax-derived ones tolerate fp-reassociation
+    near-tie flips (untrained net)."""
+    code = """
+import numpy as np, jax, jax.numpy as jnp
+from npp_tpu.core.predictor import Predictor
+from npp_tpu.models.augment import NPPNet
+from npp_tpu.parallel.mesh import make_mesh
+
+model = NPPNet(num_classes=7, num_joints=14, layers=8, init_channels=8,
+               refine_layers=1, dtype=jnp.float32)
+variables = jax.jit(model.init, static_argnames=("train",))(
+    jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
+rng = np.random.default_rng(3)
+ims = [rng.integers(0, 255, (90 + 6 * i, 70, 3)).astype(np.uint8)
+       for i in range(3)]
+kw = dict(crop_size=(64, 64), flip_pairs=((1, 2),),
+          pose_scales=(0.75, 1.0, 1.25))
+single = Predictor(model, variables, **kw)
+sharded = Predictor(model, variables, mesh=make_mesh(), **kw)
+outs_s = single.predict_batch(ims)
+outs_m = sharded.predict_batch(ims)
+assert len(outs_m) == 3
+n_match = tot = 0
+for o_s, o_m, im in zip(outs_s, outs_m, ims):
+    assert o_m["parsing"].shape == im.shape[:2]
+    agree = np.mean(o_s["parsing"] == o_m["parsing"])
+    assert agree > 0.999, agree
+    ks, km = o_s["keypoints"], o_m["keypoints"]
+    np.testing.assert_allclose(km[:, 2], ks[:, 2], rtol=0, atol=1e-3)
+    d = np.linalg.norm(km[:, :2] - ks[:, :2], axis=-1)
+    n_match += int((d < 1.6).sum()); tot += d.size
+assert n_match / tot > 0.9, (n_match, tot)
+print("POSE_SCALES_MESH_OK")
+"""
+    r = _run_in_mesh_env(code, timeout=2700)
+    assert "POSE_SCALES_MESH_OK" in r.stdout, (r.stdout, r.stderr[-2000:])
 
 
 def test_multiscale_mesh_matches_single_device():

@@ -37,3 +37,23 @@ def test_trace_writes_directory(tmp_path):
     assert found, "trace produced no files"
     assert np.any([f.endswith((".pb", ".json.gz", ".xplane.pb"))
                    for f in found]), found
+
+
+def test_aggregate_xplane_reads_trace(tmp_path):
+    """The dependency-free xplane reader (wire-format protobuf) must
+    aggregate per-op durations from a live jax.profiler capture."""
+    import jax
+
+    d = str(tmp_path / "tr")
+    f = jax.jit(lambda x: (x @ x).sum())
+    x = jnp.ones((128, 128))
+    float(f(x))
+    with profiling.trace(d):
+        float(f(x))
+    # CPU captures have no TPU plane; aggregate the host plane (the
+    # TPU defaults are exercised by the bench/roofline workflow).
+    agg = profiling.aggregate_xplane(d, plane_filter="/host",
+                                    line_filter="")
+    assert agg["_total"]["count"] > 0
+    assert agg["_total"]["ps"] > 0
+    assert any(k != "_total" and v["ps"] > 0 for k, v in agg.items())

@@ -13,6 +13,9 @@ import jax.numpy as jnp
 from npp_tpu.ops import quantize
 from npp_tpu.ops.primitives import Conv, ReLUConvBN
 
+# Slow tier: compile-heavy / subprocess / reference-scale (see pytest.ini).
+pytestmark = pytest.mark.slow
+
 
 def _fp_conv(x, kernel, bias, stride, padding, dilation):
     ph, pw = padding

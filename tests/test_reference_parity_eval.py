@@ -43,6 +43,9 @@ if not hasattr(np, "float"):
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
+# Slow tier: compile-heavy / subprocess / reference-scale (see pytest.ini).
+pytestmark = pytest.mark.slow
+
 B, H, J, NCLS = 2, 64, 16, 20
 N_BATCHES = 8
 POSE_H = 16

@@ -31,6 +31,9 @@ if not torch.cuda.is_available():
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
+# Slow tier: compile-heavy / subprocess / reference-scale (see pytest.ini).
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def converted_supernet():

@@ -35,6 +35,9 @@ if not torch.cuda.is_available():
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
+# Slow tier: compile-heavy / subprocess / reference-scale (see pytest.ini).
+pytestmark = pytest.mark.slow
+
 B, H, J, NCLS = 2, 64, 4, 20
 POSE_H = 32
 LR = 1e-3

@@ -12,6 +12,9 @@ from npp_tpu.models import genotype_parse as GP
 from npp_tpu.models.search import (ARCH_PARAM_NAMES, MixedOp, SearchNet,
                                    channel_shuffle)
 
+# Slow tier: compile-heavy / subprocess / reference-scale (see pytest.ini).
+pytestmark = pytest.mark.slow
+
 
 def test_channel_shuffle_matches_torch_semantics():
     # torch: view(b, g, c//g, h, w).transpose(1, 2) — channel c = g*cpg + k

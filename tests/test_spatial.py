@@ -10,6 +10,9 @@ import sys
 
 import pytest
 
+# Slow tier: compile-heavy / subprocess / reference-scale (see pytest.ini).
+pytestmark = pytest.mark.slow
+
 from npp_tpu.parallel.spatial import check_divisibility
 
 
@@ -42,6 +45,7 @@ import numpy as np, jax, jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 from npp_tpu.models.augment import NPPNet
 from npp_tpu.parallel.spatial import make_mesh_2d, image_sharding
+
 
 mesh = make_mesh_2d(2, 4)
 model = NPPNet(num_classes=5, num_joints=4, layers=8, init_channels=8,

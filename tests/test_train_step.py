@@ -207,3 +207,38 @@ def test_overfit_one_batch_parsing_accuracy():
         state, m = step(state, batch)
     acc1 = float(par_acc(state.params, state.batch_stats, batch))
     assert acc1 > max(3 * acc0, 0.3), (acc0, acc1)
+
+
+def test_warn_batch_tiling_per_device_semantics(recwarn):
+    """The bs%8 tiling warning is about the PER-DEVICE batch (the
+    measured v5e collapse is per-chip — BENCH.md batch-size profile):
+    global bs16 on a 4-way data mesh runs per-device bs4 and must warn;
+    global bs32 on the same mesh is per-device bs8 and must not
+    (VERDICT r4 weak item 5)."""
+    import warnings
+
+    T._warned_batch_sizes.clear()
+    # single device: multiples of 8 are fine, others warn
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        T.warn_batch_tiling(np.zeros((16, 4, 4, 3)), "t0")
+        assert not w
+        T.warn_batch_tiling(np.zeros((12, 4, 4, 3)), "t0")
+        assert len(w) == 1 and "12" in str(w[0].message)
+    # 4-way data mesh, global bs16 -> per-device 4: warns
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        T.warn_batch_tiling(np.zeros((16, 4, 4, 3)), "t1", n_data=4)
+        assert len(w) == 1 and "4" in str(w[0].message)
+    # global bs32 on the same mesh -> per-device 8: silent
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        T.warn_batch_tiling(np.zeros((32, 4, 4, 3)), "t2", n_data=4)
+        assert not w
+    # committed jax.Array: per-device size read off the sharding
+    # (single CPU device here, so shard == global)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        T.warn_batch_tiling(jnp.zeros((12, 2)), "t3")
+        assert len(w) == 1
+    T._warned_batch_sizes.clear()

@@ -16,6 +16,10 @@ import json
 import os
 import subprocess
 import sys
+import pytest
+
+# Slow tier: compile-heavy / subprocess / reference-scale (see pytest.ini).
+pytestmark = pytest.mark.slow
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CFG = os.path.join(REPO, "experiments", "lip", "384_384.yaml")

@@ -26,6 +26,9 @@ import jax.numpy as jnp
 from npp_tpu.models.search import SearchNet
 from npp_tpu.utils.torch_convert import convert_injection_layout
 
+# Slow tier: compile-heavy / subprocess / reference-scale (see pytest.ini).
+pytestmark = pytest.mark.slow
+
 KW = dict(num_classes=5, num_joints=4, layers=8, init_channels=8,
           refine_layers=1, remat=False, dtype=jnp.float32)
 

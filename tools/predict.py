@@ -8,14 +8,19 @@ glob) of images through the prefetch-threaded predictor and writes
 protocol (same format the eval engine and the reference's
 ``pred_keypoints_lip.csv`` use).
 
+Serves the measured-best configuration by default: bf16 with both exact
+graph fusions (``fuse_necks`` + ``fuse_cells`` — BENCH.md serving
+matrix: 384 img/s at p50 6.57 ms on one v5e chip). ``--no-fuse``
+disables both.
+
 Examples:
   # serve a folder with a converted reference checkpoint
   python tools/predict.py --cfg experiments/lip/384_384.yaml \
       --ckpt converted_ckpt --images demo_imgs/ --out preds/
-  # int8 + fused-neck serving, batch 16
+  # int8 serving without the graph fusions, batch 16
   python tools/predict.py --cfg experiments/lip/384_384.yaml \
       --ckpt converted_ckpt --images 'demo_imgs/*.jpg' --out preds/ \
-      --int8 --fuse-necks --batch 16
+      --int8 --no-fuse --batch 16
   # synthetic smoke (fresh init, tiny net)
   python tools/predict.py --cfg experiments/lip/384_384.yaml \
       --synthetic 4 --tiny --out preds/
@@ -32,6 +37,29 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
+def _parse_pose_scales(spec: str) -> tuple:
+    """Parse the --pose-scales comma list: tolerate stray whitespace /
+    trailing commas, dedupe (a duplicate entry would silently
+    double-weight that scale in the uniform TTA average), and name the
+    flag on parse errors."""
+    scales: list = []
+    for tok in spec.split(","):
+        tok = tok.strip()
+        if not tok:
+            continue
+        try:
+            val = float(tok)
+        except ValueError:
+            raise SystemExit(
+                f"--pose-scales: {tok!r} is not a number "
+                f"(expected e.g. 0.8,1.0,1.2)")
+        if val not in scales:
+            scales.append(val)
+    if not scales:
+        raise SystemExit("--pose-scales: no scales given")
+    return tuple(scales)
+
+
 def _gather_images(spec: str) -> list[str]:
     if os.path.isdir(spec):
         paths = sorted(
@@ -44,7 +72,7 @@ def _gather_images(spec: str) -> list[str]:
     return paths
 
 
-def main():
+def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser()
     p.add_argument("--cfg", required=True)
     p.add_argument("--ckpt", default="",
@@ -55,8 +83,18 @@ def main():
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--int8", action="store_true",
                    help="serve dense convs as int8 MXU ops")
-    p.add_argument("--fuse-necks", action="store_true",
-                   help="serve through the fused-neck graph (exact)")
+    p.add_argument("--fuse-necks", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="serve through the fused-neck graph (exact; "
+                        "on by default — part of the measured-best config)")
+    p.add_argument("--fuse-cells", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="merge same-input sibling convs inside cells into "
+                        "K-wide convs (exact; on by default — part of the "
+                        "measured-best config, BENCH.md serving matrix)")
+    p.add_argument("--no-fuse", action="store_true",
+                   help="disable BOTH exact graph fusions (shorthand for "
+                        "--no-fuse-necks --no-fuse-cells)")
     p.add_argument("--no-flip", action="store_true",
                    help="disable flip TTA")
     p.add_argument("--dark", action="store_true",
@@ -75,7 +113,11 @@ def main():
                    help="searched-genotype JSON (best_genotype.json); the "
                         "net is built from it instead of the released "
                         "genotypes — must match the checkpoint")
-    args = p.parse_args()
+    return p
+
+
+def main():
+    args = build_parser().parse_args()
 
     import cv2
 
@@ -88,12 +130,15 @@ def main():
                                                   args.tiny,
                                                   genotype=args.genotype)
 
-    pose_scales = (tuple(float(s) for s in args.pose_scales.split(","))
+    pose_scales = (_parse_pose_scales(args.pose_scales)
                    if args.pose_scales else (1.0,))
+    if args.no_fuse:
+        args.fuse_necks = args.fuse_cells = False
     pred = Predictor(model, variables, crop_size=size,
                      flip_test=not args.no_flip,
                      quantize="int8" if args.int8 else None,
-                     fuse_necks=args.fuse_necks, dark_decode=args.dark,
+                     fuse_necks=args.fuse_necks,
+                     fuse_cells=args.fuse_cells, dark_decode=args.dark,
                      pose_scales=pose_scales)
 
     if args.synthetic:
