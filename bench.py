@@ -35,9 +35,15 @@ def bench_infer(quantize: str | None = None, fused_necks: bool = False,
                                         fuse_sibling_variables)
     from npp_tpu.ops.quantize import quantized_convs
 
+    # merged_streams has no exact fused-cells variable transform (its
+    # stacked vcells_* layout differs), so the combined arm inits the
+    # fused layout directly — random weights, timing-only (valid: the
+    # graph is identical to what a converted checkpoint would run).
+    direct_fused = fused_cells and merged_streams
     model = NPPNet(num_classes=20, num_joints=16, layers=16,
                    init_channels=64, refine_layers=1,
-                   merged_streams=merged_streams, dtype=jnp.bfloat16)
+                   merged_streams=merged_streams, fused_cells=direct_fused,
+                   dtype=jnp.bfloat16)
 
     batch = 8
     images = [
@@ -53,8 +59,9 @@ def bench_infer(quantize: str | None = None, fused_necks: bool = False,
         # layout, as Predictor(fuse_necks=True) would.
         model = model.clone(fused_necks=True)
         variables = fuse_neck_variables(variables)
-    if fused_cells:
-        # Same-input std-conv edges merged into K-wide convs (exact;
+    if fused_cells and not direct_fused:
+        # Same-input sibling edges (std-conv/SE/dil/sep families) merged
+        # into K-wide or blocked-grouped ops (exact;
         # fuse_sibling_variables), as Predictor(fuse_cells=True) would.
         variables = fuse_sibling_variables(variables, model)
         model = model.clone(fused_cells=True)
@@ -625,7 +632,8 @@ def main() -> None:
     p.add_argument("--config", default="infer",
                    choices=["infer", "infer_int8", "infer_int8prep",
                             "infer_int8static", "infer_fused",
-                            "infer_merged", "infer_cellfused", "infer_cellfused_necks",
+                            "infer_merged", "infer_merged_cellfused",
+                            "infer_cellfused", "infer_cellfused_necks",
                             "eval", "pipeline", "search", "search_novmap",
                             "train", "ppp_ms", "train_e2e", "search_e2e",
                             "predict", "predict_int8", "int8_envelope"])
@@ -643,6 +651,8 @@ def main() -> None:
                                              quant_prep="static"),
      "infer_fused": lambda: bench_infer(fused_necks=True, repeat=rep),
      "infer_merged": lambda: bench_infer(merged_streams=True, repeat=rep),
+     "infer_merged_cellfused": lambda: bench_infer(
+         merged_streams=True, fused_cells=True, repeat=rep),
      "infer_cellfused": lambda: bench_infer(fused_cells=True, repeat=rep),
      "infer_cellfused_necks": lambda: bench_infer(
          fused_cells=True, fused_necks=True, repeat=rep),

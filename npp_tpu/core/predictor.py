@@ -39,10 +39,12 @@ class Predictor:
         to the fused-neck layout (one conv+BN per stream instead of two;
         exact — see models/augment.fuse_neck_variables) and transforms
         ``variables`` to match; pass an unfused model/checkpoint.
-        ``fuse_cells=True`` likewise rewrites same-input std-conv edge
-        groups in every cell into single K-wide convs
+        ``fuse_cells=True`` likewise rewrites same-input sibling edge
+        groups in every cell (std-conv, SE, dil-conv, sep-conv families)
+        into single K-wide/blocked-grouped ops
         (models/augment.fuse_sibling_variables; exact in fp — under
-        int8 a group shares one requant scale).
+        int8 a group shares one requant scale and grouped pointwise
+        convs stay fp).
 
         ``mesh``: a ``jax.sharding.Mesh`` with a ``"data"`` axis enables
         data-parallel multi-chip serving — weights replicated, request

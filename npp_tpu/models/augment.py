@@ -125,8 +125,6 @@ class NPPNet(nn.Module):
         cell_args = []
         reduction_prev = False
         for i in range(L):
-            if i in boundaries:
-                num_inchannels.append(c_curr * self.multiplier)
             reduction = i in reductions
             if reduction:
                 c_curr *= 2
@@ -136,6 +134,16 @@ class NPPNet(nn.Module):
                 else self.encoder.normal_concat,
                 c_curr, reduction, reduction_prev, d))
             reduction_prev = reduction
+            if i in boundaries:
+                # Channels of the feature actually appended at this
+                # boundary — i.e. AFTER this cell's reduction doubling.
+                # The reference appends before the doubling
+                # (model_augment.py:279-287), which agrees at L=8/16
+                # (boundaries L//4-1 etc. are always one cell before
+                # reductions L//4 etc.) but breaks at L=4, where a
+                # boundary cell IS a reduction cell and the injection
+                # ops would be built for stale widths.
+                num_inchannels.append(c_curr * self.multiplier)
 
         if self.merged_streams:
             VCell = nn.vmap(Cell,
@@ -447,12 +455,14 @@ def _cell_specs(model: NPPNet):
 def fuse_sibling_variables(variables, model: NPPNet):
     """Exact standard→``fused_cells`` variable transform.
 
-    For every genotype-compiled cell, same-input std-conv edge groups
-    (``models.cells.sibling_groups``) concatenate their ReLUConvBN
-    subtrees leaf-wise along the output-channel axis into one
-    ``sib_{g}`` SiblingConvGroup subtree (conv kernels are HWIO and
-    every BN vector is per-output-channel, so ``axis=-1`` is right for
-    all leaves); remaining edges renumber densely to ``ops_{j}``.
+    For every genotype-compiled cell, same-input sibling edge groups
+    (``models.cells.sibling_groups``: std-conv, SE, dil-conv, and
+    sep-conv families) concatenate their per-edge subtrees leaf-wise
+    along the output-channel axis into one ``sib_{g}`` group-module
+    subtree (conv kernels are HWIO — including depthwise (kh,kw,1,C) and
+    grouped-pointwise (1,1,C,F) ones — and every BN vector is
+    per-output-channel, so ``axis=-1`` is right for all leaves);
+    remaining edges renumber densely to ``ops_{j}``.
     ``model`` supplies the genotypes/depth (a standard-layout NPPNet).
     Exact in both modes — tests/test_model.py."""
     import jax

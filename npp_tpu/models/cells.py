@@ -21,23 +21,29 @@ from npp_tpu.ops.resize import resize_nearest, resize_scale
 
 
 def sibling_groups(edges, reduction: bool = False):
-    """Edge-index groups of >=2 ``std_conv_*`` or ``se_connect`` edges
-    reading the SAME state with the same stride — mergeable into ONE
-    wider op (same-name edges only; groups never mix op types).
+    """Edge-index groups of >=2 ``std_conv_*``, ``se_connect``,
+    ``dil_conv_*``, or ``sep_conv_*`` edges reading the SAME state with
+    the same stride — mergeable into ONE wider op (same-name edges only;
+    groups never mix op types).
 
     The released genotypes are rich in these (e.g. the encoder normal
     cell has three ``std_conv_3x3`` edges all reading state 0 AND an
-    ``se_connect`` pair on state 1): each conv group collapses K
-    (C -> C) MXU matmuls into one (C -> K*C), and each SE group shares
+    ``se_connect`` pair on state 1; the par fusion cell has a
+    ``dil_conv_3x3_2`` pair on state 2): each conv group collapses K
+    (C -> C) MXU matmuls into one (C -> K*C), each SE group shares
     one global-pool squeeze + runs the K excitation MLPs as one merged/
-    grouped pair of 1x1 convs — the "fewer, larger ops" direction the
-    round-3 device trace prescribed (BENCH.md: flat profile, ~1800 small
-    fusions). Returns ``[((name, state, stride), (edge_idx, ...)), ...]``
-    sorted by first edge index; the module and the variable converter
-    both call this, so layouts always agree."""
+    grouped pair of 1x1 convs, and each dil/sep group tiles the input
+    once and runs K depthwise+pointwise chains as one blocked grouped
+    chain — the "fewer, larger ops" direction the round-3 device trace
+    prescribed (BENCH.md: flat profile, ~1800 small fusions). Returns
+    ``[((name, state, stride), (edge_idx, ...)), ...]`` sorted by first
+    edge index; the module and the variable converter both call this, so
+    layouts always agree."""
     byk: dict = {}
     for i, (name, idx) in enumerate(edges):
-        if name in ("std_conv_3x3", "std_conv_1x1", "se_connect"):
+        if name in ("std_conv_3x3", "std_conv_1x1", "se_connect",
+                    "dil_conv_3x3_2", "dil_conv_3x3_4", "dil_conv_5x5_4",
+                    "sep_conv_3x3", "sep_conv_5x5"):
             stride = 2 if reduction and idx < 2 else 1
             byk.setdefault((name, idx, stride), []).append(i)
     groups = [(k, tuple(v)) for k, v in byk.items() if len(v) >= 2]
@@ -121,6 +127,93 @@ class SiblingSEGroup(nn.Module):
         return BatchNorm(True, self.dtype)(out, train)
 
 
+class SiblingDilGroup(nn.Module):
+    """K same-input DilConvS edges as one blocked depthwise+pointwise chain.
+
+    Exact by construction (both modes): the input is ReLU'd once and
+    tiled K-fold along channels (blocked: ``[x, x, ...]``), so one
+    depthwise conv with ``K*C`` groups runs the K dilated depthwise
+    kernels, one grouped pointwise (``feature_group_count=K``) runs the
+    K (C -> C) 1x1 convs block-diagonally, and one concatenated BN
+    replaces the K per-edge BNs. Depthwise/pointwise/BN leaves all
+    concatenate along the output-channel axis, so the variable transform
+    is the same per-leaf channel concat as SiblingConvGroup
+    (models/augment.py:fuse_sibling_variables); child structure
+    (Conv_0, Conv_1, BatchNorm_0) mirrors DilConvS. Returns the
+    concatenated (B, H', W', K*C) tensor; the caller slices per edge.
+
+    ``tiled_input=False`` skips the ReLU+tile and consumes an
+    already-blocked (B, H, W, K*C) input with a plain ReLU — the second
+    stage of SiblingSepGroup.
+
+    Caveat: under int8 serving the unfused DilConvS pointwise (a dense
+    C -> C conv) quantizes, but the merged pointwise is a grouped conv
+    and grouped convs always stay floating point (ops/primitives.Conv)
+    — fp outputs are identical, int8 outputs differ slightly from the
+    unfused int8 graph (same class of caveat as SiblingConvGroup's
+    shared requant scale)."""
+
+    channels: int
+    k: int
+    kernel: int
+    stride: int
+    padding: int
+    dilation: int
+    dtype: Any = None
+    tiled_input: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        from npp_tpu.ops.primitives import BatchNorm
+        x = nn.relu(x)
+        if self.tiled_input:
+            x = jnp.tile(x, (1, 1, 1, self.k))
+        c_in = x.shape[-1]  # == K * per-edge input channels
+        x = Conv(c_in, (self.kernel, self.kernel),
+                 (self.stride, self.stride), (self.padding, self.padding),
+                 dilation=(self.dilation, self.dilation), groups=c_in,
+                 use_bias=False, dtype=self.dtype)(x)
+        x = Conv(self.channels * self.k, (1, 1), groups=self.k,
+                 use_bias=False, dtype=self.dtype)(x)
+        return BatchNorm(True, self.dtype)(x, train)
+
+
+class SiblingSepGroup(nn.Module):
+    """K same-input SepConv edges as two stacked blocked dil-group stages.
+
+    SepConv is two stacked dilation-1 DilConvS (ops/primitives.py:261);
+    the group version tiles once in stage 0 and feeds the blocked
+    (B, H', W', K*C) result straight into stage 1 (``tiled_input=False``).
+    Child names (DilConvS_0, DilConvS_1) mirror SepConv so the variable
+    transform stays the uniform per-leaf channel concat. Exact in fp;
+    same int8 grouped-conv caveat as SiblingDilGroup."""
+
+    channels: int
+    k: int
+    kernel: int
+    stride: int
+    padding: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        c_in = x.shape[-1]
+        x = SiblingDilGroup(c_in, self.k, self.kernel, self.stride,
+                            self.padding, 1, self.dtype,
+                            name="DilConvS_0")(x, train)
+        x = SiblingDilGroup(self.channels, self.k, self.kernel, 1,
+                            self.padding, 1, self.dtype, tiled_input=False,
+                            name="DilConvS_1")(x, train)
+        return x
+
+
+# (kernel, padding, dilation) per dil primitive — mirrors the OPS table
+# (ops/primitives.py:378-380); sep entries are (kernel, padding).
+_DIL_SPECS = {"dil_conv_3x3_2": (3, 2, 2), "dil_conv_3x3_4": (3, 4, 4),
+              "dil_conv_5x5_4": (5, 4, 2)}
+_SEP_SPECS = {"sep_conv_3x3": (3, 1), "sep_conv_5x5": (5, 2)}
+
+
 class _SiblingMixin:
     """Shared edge-op plumbing for cells that support ``fuse_siblings``.
 
@@ -148,6 +241,13 @@ class _SiblingMixin:
         for g, ((name, _idx, stride), es) in enumerate(groups):
             if name == "se_connect":
                 sib.append(SiblingSEGroup(c, len(es), stride, d))
+            elif name in _DIL_SPECS:
+                ksz, pad, dil = _DIL_SPECS[name]
+                sib.append(SiblingDilGroup(c, len(es), ksz, stride, pad,
+                                           dil, d))
+            elif name in _SEP_SPECS:
+                ksz, pad = _SEP_SPECS[name]
+                sib.append(SiblingSepGroup(c, len(es), ksz, stride, pad, d))
             else:
                 ksz, pad = (3, 1) if name == "std_conv_3x3" else (1, 0)
                 sib.append(SiblingConvGroup(c, len(es), ksz, stride, pad,

@@ -363,11 +363,16 @@ class SearchNet(nn.Module):
         cells1, cells2, num_inchannels = [], [], []
         reduction_prev = False
         for i in range(L):
-            if i in boundaries:
-                num_inchannels.append(c_curr * self.multiplier)
             reduction = i in reductions
             if reduction:
                 c_curr *= 2
+            if i in boundaries:
+                # AFTER the reduction doubling: the channels of the
+                # feature appended at this boundary. Same at L=8/16 as
+                # the reference's append-before order; correct (unlike
+                # it) when a boundary cell IS a reduction cell (L=4) —
+                # see models/augment.py setup note.
+                num_inchannels.append(c_curr * self.multiplier)
             edges = (self.encoder.reduce if reduction
                      else self.encoder.normal)
             concat = (self.encoder.reduce_concat if reduction

@@ -209,3 +209,88 @@ def test_fused_cells_exact(tiny_model_bundle):
                     jax.tree.leaves(got_mut["batch_stats"])):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=0, atol=5e-4)
+
+
+def test_fused_dil_sep_groups_exact():
+    """Dil/sep-conv sibling groups (SiblingDilGroup / SiblingSepGroup)
+    must reproduce the standard forward in both modes.
+
+    The released genotypes only carry one dil pair (fusion.par state 2),
+    so this builds an encoder genotype dense in the new group types:
+    a dil_conv_3x3_2 pair, a sep_conv_3x3 pair, and stride-2
+    dil_conv_3x3_4 / sep_conv_5x5 pairs in the reduce cell (exercising
+    the blocked tile -> grouped depthwise -> grouped pointwise chain at
+    both strides)."""
+    from npp_tpu import genotypes as gt
+    from npp_tpu.models.augment import (NPPNet, fuse_sibling_variables,
+                                        unfuse_sibling_variables)
+    from npp_tpu.models.cells import sibling_groups
+
+    # The released par fusion cell itself now yields a dil group.
+    released = dict(sibling_groups(gt.FUSION.par))
+    assert any(k[0] == "dil_conv_3x3_2" for k in released)
+
+    enc = gt.Genotype(
+        normal=gt._edges([("dil_conv_3x3_2", 0), ("dil_conv_3x3_2", 0),
+                          ("sep_conv_3x3", 1), ("sep_conv_3x3", 1),
+                          ("std_conv_3x3", 0), ("skip_connect", 2),
+                          ("std_conv_1x1", 3), ("max_pool_3x3", 1)]),
+        normal_concat=(2, 3, 4, 5),
+        reduce=gt._edges([("dil_conv_3x3_4", 0), ("dil_conv_3x3_4", 0),
+                          ("sep_conv_5x5", 1), ("sep_conv_5x5", 1),
+                          ("std_conv_3x3", 2), ("skip_connect", 2),
+                          ("se_connect", 3), ("max_pool_3x3", 2)]),
+        reduce_concat=(2, 3, 4, 5),
+    )
+    g_norm = sibling_groups(enc.normal)
+    g_red = sibling_groups(enc.reduce, reduction=True)
+    assert [k[0] for k, _ in g_norm] == ["dil_conv_3x3_2", "sep_conv_3x3"]
+    assert [(k[0], k[2]) for k, _ in g_red] == [
+        ("dil_conv_3x3_4", 2), ("sep_conv_5x5", 2)]
+
+    model = NPPNet(num_classes=7, num_joints=14, layers=4, init_channels=8,
+                   refine_layers=1, encoder=enc, dtype=jnp.float32)
+    x = jnp.asarray(np.random.default_rng(7).standard_normal(
+        (2, 64, 64, 3)), jnp.float32)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), x, train=False)
+
+    fused_model = model.clone(fused_cells=True)
+    fused_vars = fuse_sibling_variables(variables, model)
+    # Inverse round-trips bit-exactly.
+    back = unfuse_sibling_variables(fused_vars, model)
+    assert jax.tree.structure(back) == jax.tree.structure(variables)
+    for a, b in zip(jax.tree.leaves(variables), jax.tree.leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    fwd = jax.jit(model.apply, static_argnames=("train",))
+    ffwd = jax.jit(fused_model.apply, static_argnames=("train",))
+    ref_pose, ref_par = fwd(variables, x, train=False)
+    got_pose, got_par = ffwd(fused_vars, x, train=False)
+    for ref_branch, got_branch in zip((ref_pose, ref_par),
+                                      (got_pose, got_par)):
+        for (rm, ra), (gm, ga) in zip(ref_branch, got_branch):
+            np.testing.assert_allclose(np.asarray(gm), np.asarray(rm),
+                                       rtol=0, atol=2e-4)
+            np.testing.assert_allclose(np.asarray(ga), np.asarray(ra),
+                                       rtol=0, atol=2e-4)
+
+    # Train mode: outputs + mapped running stats agree.
+    step = jax.jit(lambda v, x: model.apply(
+        v, x, train=True, mutable=["batch_stats"]))
+    fstep = jax.jit(lambda v, x: fused_model.apply(
+        v, x, train=True, mutable=["batch_stats"]))
+    ref_out, ref_mut = step(variables, x)
+    got_out, got_mut = fstep(fused_vars, x)
+    # atol 2e-3 (vs 5e-4 in test_fused_cells_exact): the dil/sep chains
+    # stack two reassociating CPU convs per edge and the train-mode BN
+    # divides small batch moments — measured worst case 6e-4; a wrong
+    # group/slot mapping errors at O(0.1).
+    np.testing.assert_allclose(np.asarray(got_out[1][-1][0]),
+                               np.asarray(ref_out[1][-1][0]),
+                               rtol=0, atol=2e-3)
+    refused = fuse_sibling_variables(ref_mut, model)
+    for a, b in zip(jax.tree.leaves(refused["batch_stats"]),
+                    jax.tree.leaves(got_mut["batch_stats"])):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=0, atol=2e-3)

@@ -101,8 +101,13 @@ def test_multiscale_tiling_counts():
 
     # 2/3-overlap tiling (base_dataset.py:187-214): stride = 2/3 crop.
     assert _tile_origins(384, 384, 256) == [0]
+    # Clip-tail semantics (base_dataset.py:219-231): the last window
+    # starts at (rows-1)*stride and is CLIPPED at the image edge, not
+    # shifted back to fit (rows = ceil((L-crop)/stride)+1 = 2 here).
     origins = _tile_origins(500, 384, 256)
-    assert origins[0] == 0 and origins[-1] == 500 - 384
+    assert origins == [0, 256]
+    # Every pixel is still covered: last window start <= L - 1.
+    assert origins[-1] < 500
 
 
 def test_multiscale_inference_identity_model():
