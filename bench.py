@@ -32,18 +32,12 @@ def bench_infer(quantize: str | None = None, fused_necks: bool = False,
                 merged_streams: bool = False, fused_cells: bool = False,
                 repeat: int = 1, quant_prep: str = "none") -> None:
     from npp_tpu.models.augment import (NPPNet, fuse_neck_variables,
-                                        fuse_sibling_variables)
+                                        fuse_sibling_variables,
+                                        merge_stream_variables)
     from npp_tpu.ops.quantize import quantized_convs
 
-    # merged_streams has no exact fused-cells variable transform (its
-    # stacked vcells_* layout differs), so the combined arm inits the
-    # fused layout directly — random weights, timing-only (valid: the
-    # graph is identical to what a converted checkpoint would run).
-    direct_fused = fused_cells and merged_streams
     model = NPPNet(num_classes=20, num_joints=16, layers=16,
-                   init_channels=64, refine_layers=1,
-                   merged_streams=merged_streams, fused_cells=direct_fused,
-                   dtype=jnp.bfloat16)
+                   init_channels=64, refine_layers=1, dtype=jnp.bfloat16)
 
     batch = 8
     images = [
@@ -59,12 +53,17 @@ def bench_infer(quantize: str | None = None, fused_necks: bool = False,
         # layout, as Predictor(fuse_necks=True) would.
         model = model.clone(fused_necks=True)
         variables = fuse_neck_variables(variables)
-    if fused_cells and not direct_fused:
+    if fused_cells:
         # Same-input sibling edges (std-conv/SE/dil/sep families) merged
         # into K-wide or blocked-grouped ops (exact;
         # fuse_sibling_variables), as Predictor(fuse_cells=True) would.
         variables = fuse_sibling_variables(variables, model)
         model = model.clone(fused_cells=True)
+    if merged_streams:
+        # Exact stream-merge transform (stacks stem/cell pairs on a
+        # leading stream axis; composes with the fusions above).
+        variables = merge_stream_variables(variables, model.layers)
+        model = model.clone(merged_streams=True)
     if quantize == "int8" and quant_prep != "none":
         # int8 v2: pre-quantized weight tree ('qconst'), and for
         # quant_prep="static" calibrated static activation scales from
@@ -556,7 +555,8 @@ def bench_search_e2e(n_images: int = 28) -> None:
 
 
 def bench_search_step(full_scale: bool = True,
-                      vmap_injections: bool = True) -> None:
+                      vmap_injections: bool = True,
+                      merged_streams: bool = False) -> None:
     """BASELINE.json config 5: supernet search step (fwd+bwd, weight+arch).
 
     Default: the REFERENCE search scale — layers=16, C=32, batch 7, 384px
@@ -571,6 +571,10 @@ def bench_search_step(full_scale: bool = True,
     ``vmap_injections=False`` measures the pre-round-4 unrolled
     injection layout (the ``search_novmap`` config) so the default-on
     graph rewrite has a published number on both axes.
+    ``merged_streams=True`` (the ``search_merged`` config) runs the
+    encoder cell pairs as vmapped stream pairs (models/search.py) —
+    fewer/larger ops at the C=32 width where the fixed net measured the
+    merged encoder fastest, and a smaller program to compile.
     """
     from npp_tpu.core import search as S
     from npp_tpu.core.criterion import LIP_CLASS_WEIGHTS
@@ -579,7 +583,8 @@ def bench_search_step(full_scale: bool = True,
     layers, c, hw = (16, 32, 384) if full_scale else (8, 16, 192)
     model = SearchNet(num_classes=20, num_joints=16, layers=layers,
                       init_channels=c, refine_layers=1,
-                      vmap_injections=vmap_injections, dtype=jnp.bfloat16)
+                      vmap_injections=vmap_injections,
+                      merged_streams=merged_streams, dtype=jnp.bfloat16)
     w_tx, a_tx = S.make_search_optimizers(w_lr=1e-3, alpha_lr=1e-3,
                                           lr_step=(70,), lr_factor=0.2,
                                           steps_per_epoch=100)
@@ -603,11 +608,15 @@ def bench_search_step(full_scale: bool = True,
     }
     t_warm = time.perf_counter()
     state, m = weight_step(state, batch)
+    float(m["loss"])
+    warmup_w_s = time.perf_counter() - t_warm
     state, m2 = arch_step(state, batch, jnp.float32(0.0))
     float(m2["loss"])  # force completion of the warmup pair
     warmup_s = time.perf_counter() - t_warm  # == compile time when the
     # persistent compilation cache is cold (point JAX_COMPILATION_CACHE_DIR
-    # at an empty dir to measure a true cold compile)
+    # at an empty dir to measure a true cold compile); warmup_weight_s
+    # vs the pair total also documents the shared weight/arch program
+    # claim (the arch step should add ~no compile time)
     t0 = time.perf_counter()
     n = 4
     for _ in range(n):
@@ -623,7 +632,9 @@ def bench_search_step(full_scale: bool = True,
                   "layers": layers, "init_channels": c, "image": hw,
                   "full_scale": full_scale,
                   "vmap_injections": vmap_injections,
-                  "warmup_pair_s": round(warmup_s, 1)},
+                  "merged_streams": merged_streams,
+                  "warmup_pair_s": round(warmup_s, 1),
+                  "warmup_weight_s": round(warmup_w_s, 1)},
     }))
 
 
@@ -635,6 +646,7 @@ def main() -> None:
                             "infer_merged", "infer_merged_cellfused",
                             "infer_cellfused", "infer_cellfused_necks",
                             "eval", "pipeline", "search", "search_novmap",
+                            "search_merged",
                             "train", "ppp_ms", "train_e2e", "search_e2e",
                             "predict", "predict_int8", "int8_envelope"])
     p.add_argument("--repeat", type=int, default=1,
@@ -659,6 +671,7 @@ def main() -> None:
      "eval": bench_eval, "pipeline": bench_pipeline,
      "search": bench_search_step,
      "search_novmap": lambda: bench_search_step(vmap_injections=False),
+     "search_merged": lambda: bench_search_step(merged_streams=True),
      "train": bench_train,
      "ppp_ms": bench_ppp_multiscale, "train_e2e": bench_train_e2e,
      "search_e2e": bench_search_e2e, "predict": bench_predict,

@@ -430,6 +430,58 @@ def unfuse_neck_variables(variables):
     return out
 
 
+def merge_stream_variables(variables, layers: int):
+    """Exact standard→``merged_streams`` variable transform.
+
+    Works for both NPPNet and SearchNet (they share the naming scheme):
+    stacks the two encoder streams' stem and per-cell subtrees leaf-wise
+    on a NEW leading stream axis — ``vstem_a = stack(stem0, stem3)``,
+    ``vstem_b = stack(stem1, stem4)``, ``vstem_c = stack(stem2, stem5)``,
+    ``vcells_{i} = stack(cells1_{i}, cells2_{i})`` — exactly the layout
+    ``nn.vmap``'s ``variable_axes={"params": 0, "batch_stats": 0}``
+    expects. Exact in both modes: the vmapped cell runs each stream's
+    weights on its own stream slice. Composes with
+    :func:`fuse_sibling_variables` (apply that first; the stack is
+    leaf-generic over the fused cell trees too)."""
+    import jax
+
+    pairs = [("vstem_a", "stem0", "stem3"), ("vstem_b", "stem1", "stem4"),
+             ("vstem_c", "stem2", "stem5")]
+    pairs += [(f"vcells_{i}", f"cells1_{i}", f"cells2_{i}")
+              for i in range(layers)]
+    out = {}
+    for col, tree in variables.items():
+        tree = dict(tree)
+        for merged, a, b in pairs:
+            if a in tree and b in tree:
+                tree[merged] = jax.tree.map(
+                    lambda p, q: jnp.stack([p, q]), tree.pop(a),
+                    tree.pop(b))
+        out[col] = tree
+    return out
+
+
+def unmerge_stream_variables(variables, layers: int):
+    """Exact inverse of :func:`merge_stream_variables` (index the leading
+    stream axis back into per-stream subtrees)."""
+    import jax
+
+    pairs = [("vstem_a", "stem0", "stem3"), ("vstem_b", "stem1", "stem4"),
+             ("vstem_c", "stem2", "stem5")]
+    pairs += [(f"vcells_{i}", f"cells1_{i}", f"cells2_{i}")
+              for i in range(layers)]
+    out = {}
+    for col, tree in variables.items():
+        tree = dict(tree)
+        for merged, a, b in pairs:
+            if merged in tree:
+                node = tree.pop(merged)
+                tree[a] = jax.tree.map(lambda p: p[0], node)
+                tree[b] = jax.tree.map(lambda p: p[1], node)
+        out[col] = tree
+    return out
+
+
 def _cell_specs(model: NPPNet):
     """(edges, reduction) per genotype-compiled cell module name, in the
     standard (unmerged-streams) layout — the grouping contract shared by

@@ -326,6 +326,7 @@ class SearchNet(nn.Module):
     remat: bool = True
     vmap_fusion: bool = True
     vmap_injections: bool = True
+    merged_streams: bool = False
     dtype: Any = jnp.bfloat16
 
     # Off-diagonal decoder-injection destinations for source slot j
@@ -349,12 +350,35 @@ class SearchNet(nn.Module):
             RFusion = nn.remat(Fusion, static_argnums=(6,))
         else:
             RCell, RMixed, RFusion = Cell, MixedOp, Fusion
-        self.stem0 = _Stem(c, 2, True, d)
-        self.stem1 = _Stem(c * 2, 2, True, d)
-        self.stem2 = _Stem(c * 2, 1, False, d)
-        self.stem3 = _Stem(c, 2, True, d)
-        self.stem4 = _Stem(c * 2, 2, True, d)
-        self.stem5 = _Stem(c * 2, 1, False, d)
+        if self.merged_streams:
+            # Stream-merged encoder (the NPPNet merged_streams design
+            # applied to the supernet): each cell PAIR runs as one
+            # vmapped cell over a leading stream axis, halving the
+            # encoder's op/HLO count. The supernet runs at C=32 — the
+            # width where the fixed net measured the merged encoder
+            # fastest — and the encoder cells are fixed (not searched),
+            # so only the plumbing changes; injections/decoder/fusion
+            # are per-stream as before. Parameter layout differs
+            # (vcells_{i} stacked) — serving/search checkpoints don't
+            # interchange without a stack/unstack transform.
+            VRCell = nn.vmap(RCell,
+                             variable_axes={"params": 0, "batch_stats": 0},
+                             split_rngs={"params": True},
+                             in_axes=(0, 0, None), out_axes=0)
+            VStem = nn.vmap(_Stem,
+                            variable_axes={"params": 0, "batch_stats": 0},
+                            split_rngs={"params": True},
+                            in_axes=(0, None), out_axes=0)
+            self.vstem_a = VStem(c, 2, True, d)
+            self.vstem_b = VStem(c * 2, 2, True, d)
+            self.vstem_c = VStem(c * 2, 1, False, d)
+        else:
+            self.stem0 = _Stem(c, 2, True, d)
+            self.stem1 = _Stem(c * 2, 2, True, d)
+            self.stem2 = _Stem(c * 2, 1, False, d)
+            self.stem3 = _Stem(c, 2, True, d)
+            self.stem4 = _Stem(c * 2, 2, True, d)
+            self.stem5 = _Stem(c * 2, 1, False, d)
 
         boundaries = {L // 4 - 1, 2 * L // 4 - 1, 3 * L // 4 - 1, L - 1}
         reductions = {L // 4, 2 * L // 4, 3 * L // 4}
@@ -377,13 +401,21 @@ class SearchNet(nn.Module):
                      else self.encoder.normal)
             concat = (self.encoder.reduce_concat if reduction
                       else self.encoder.normal_concat)
-            cells1.append(RCell(edges, concat, c_curr, reduction,
-                                reduction_prev, d))
-            cells2.append(RCell(edges, concat, c_curr, reduction,
-                                reduction_prev, d))
+            if self.merged_streams:
+                # VRCell from the merged branch above (same setup scope).
+                cells1.append(VRCell(edges, concat, c_curr, reduction,
+                                     reduction_prev, d))
+            else:
+                cells1.append(RCell(edges, concat, c_curr, reduction,
+                                    reduction_prev, d))
+                cells2.append(RCell(edges, concat, c_curr, reduction,
+                                    reduction_prev, d))
             reduction_prev = reduction
-        self.cells1 = cells1
-        self.cells2 = cells2
+        if self.merged_streams:
+            self.vcells = cells1
+        else:
+            self.cells1 = cells1
+            self.cells2 = cells2
         self.num_inchannels = tuple(num_inchannels[::-1])  # [16C,8C,4C,2C]
         nc = self.num_inchannels
 
@@ -506,10 +538,15 @@ class SearchNet(nn.Module):
 
         d = self.dtype
         x = x.astype(d)
-        s0 = self.stem1(self.stem0(x, train), train)
-        s1 = self.stem2(s0, train)
-        s2 = self.stem4(self.stem3(x, train), train)
-        s3 = self.stem5(s2, train)
+        if self.merged_streams:
+            xs = jnp.stack([x, x])
+            s0s = self.vstem_b(self.vstem_a(xs, train), train)
+            s1s = self.vstem_c(s0s, train)
+        else:
+            s0 = self.stem1(self.stem0(x, train), train)
+            s1 = self.stem2(s0, train)
+            s2 = self.stem4(self.stem3(x, train), train)
+            s3 = self.stem5(s2, train)
 
         softmax = jax.nn.softmax
         features1, features2 = [], []
@@ -526,8 +563,12 @@ class SearchNet(nn.Module):
         pending1, pending2 = {}, {}
         group = 0
         for i in range(self.layers):
-            s0, s1 = s1, self.cells1[i](s0, s1, train)
-            s2, s3 = s3, self.cells2[i](s2, s3, train)
+            if self.merged_streams:
+                s0s, s1s = s1s, self.vcells[i](s0s, s1s, train)
+                s1, s3 = s1s[0], s1s[1]
+            else:
+                s0, s1 = s1, self.cells1[i](s0, s1, train)
+                s2, s3 = s3, self.cells2[i](s2, s3, train)
             if i in self._boundaries:
                 features1.append(s1)
                 features2.append(s3)
@@ -551,6 +592,8 @@ class SearchNet(nn.Module):
                     s3 = s3 + z2
                     features1[-1] = s1
                     features2[-1] = s3
+                    if self.merged_streams:
+                        s1s = jnp.stack([s1, s3])
                     if g < 3:
                         # Source g is now final: its contributions to all
                         # later destinations in one vmapped group.
@@ -579,6 +622,8 @@ class SearchNet(nn.Module):
                 s3 = s3 + z2
                 features1[-1] = s1
                 features2[-1] = s3
+                if self.merged_streams:
+                    s1s = jnp.stack([s1, s3])
                 offset += n
 
         cont = 0

@@ -123,29 +123,43 @@ def test_fused_necks_exact(tiny_model_bundle):
                                    rtol=0, atol=1e-4)
 
 
-def test_merged_streams_variant():
-    """merged_streams=True (vmapped dual-stream encoder) must produce the
-    same output structure; weights are stacked so values differ from the
-    separate-stream init, but shapes and finiteness must hold."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-    from npp_tpu.models.augment import NPPNet
+def test_merged_streams_exact(tiny_model_bundle):
+    """merged_streams=True + merge_stream_variables must reproduce the
+    standard forward: the vmapped cell pair runs each stream's weights on
+    its own stream slice, so stacking the stem/cell subtrees on a leading
+    stream axis is function-preserving."""
+    from npp_tpu.models.augment import (merge_stream_variables,
+                                        unmerge_stream_variables)
 
-    model = NPPNet(num_classes=5, num_joints=4, layers=8, init_channels=8,
-                   refine_layers=1, merged_streams=True, dtype=jnp.float32)
-    x = jnp.asarray(np.random.default_rng(0).standard_normal((1, 64, 64, 3)),
-                    jnp.float32)
-    variables = jax.jit(model.init, static_argnames=("train",))(
-        jax.random.PRNGKey(0), x, train=False)
+    model, variables, _ = tiny_model_bundle
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)), jnp.float32)
+    merged_model = model.clone(merged_streams=True)
+    mv = merge_stream_variables(variables, model.layers)
     # Stacked stream axis on the vmapped cells' params.
-    stem_kernel = jax.tree.leaves(variables["params"]["vstem_a"])[0]
+    stem_kernel = jax.tree.leaves(mv["params"]["vstem_a"])[0]
     assert stem_kernel.shape[0] == 2
-    pose_list, par_list = jax.jit(model.apply, static_argnames=("train",))(
-        variables, x, train=False)
-    assert pose_list[-1][0].shape == (1, 16, 16, 4)
-    assert par_list[-1][0].shape == (1, 16, 16, 5)
-    assert np.isfinite(np.asarray(pose_list[-1][0])).all()
+    assert "cells1_0" not in mv["params"] and "stem0" not in mv["params"]
+    # Inverse round-trips bit-exactly (index of a stack, no arithmetic).
+    back = unmerge_stream_variables(mv, model.layers)
+    assert jax.tree.structure(back) == jax.tree.structure(variables)
+    for a, b in zip(jax.tree.leaves(variables), jax.tree.leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    fwd = jax.jit(model.apply, static_argnames=("train",))
+    mfwd = jax.jit(merged_model.apply, static_argnames=("train",))
+    ref_pose, ref_par = fwd(variables, x, train=False)
+    got_pose, got_par = mfwd(mv, x, train=False)
+    # atol 5e-3: vmapped CPU convs lower through a different algorithm
+    # than unrolled ones (documented ~1e-4 relative noise, amplified
+    # through the encoder); a wrong stream/cell mapping errors at O(0.1).
+    for ref_branch, got_branch in zip((ref_pose, ref_par),
+                                      (got_pose, got_par)):
+        for (rm, ra), (gm, ga) in zip(ref_branch, got_branch):
+            np.testing.assert_allclose(np.asarray(gm), np.asarray(rm),
+                                       rtol=0, atol=5e-3)
+            np.testing.assert_allclose(np.asarray(ga), np.asarray(ra),
+                                       rtol=0, atol=5e-3)
 
 
 def test_fused_cells_exact(tiny_model_bundle):

@@ -162,3 +162,43 @@ def test_search_upsample_cell():
     y = cell.apply(v, s0, s1, aw, bw, False)
     # Output: 4 * (c_prev // 4) channels at s1 resolution.
     assert y.shape == (1, 16, 16, 16)
+
+
+def test_merged_streams_supernet_exact(search_bundle):
+    """merged_streams=True + merge_stream_variables must reproduce the
+    standard supernet forward: the vmapped cell pair runs each stream's
+    weights on its own stream slice, so stacking stem/cell subtrees on a
+    leading stream axis is function-preserving."""
+    from npp_tpu.models.augment import (merge_stream_variables,
+                                        unmerge_stream_variables)
+
+    model, _, _, state = search_bundle
+    variables = {"params": state.params["model"],
+                 "batch_stats": state.batch_stats}
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)), jnp.float32)
+    merged_model = model.clone(merged_streams=True)
+    mv = merge_stream_variables(variables, model.layers)
+    assert "vcells_0" in mv["params"] and "cells1_0" not in mv["params"]
+    assert "vstem_a" in mv["params"] and "stem0" not in mv["params"]
+    # Inverse round-trips bit-exactly (index of a stack, no arithmetic).
+    back = unmerge_stream_variables(mv, model.layers)
+    assert jax.tree.structure(back) == jax.tree.structure(variables)
+    for a, b in zip(jax.tree.leaves(variables), jax.tree.leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    fwd = jax.jit(model.apply, static_argnames=("train",))
+    mfwd = jax.jit(merged_model.apply, static_argnames=("train",))
+    ref_pose, ref_par = fwd(variables, x, train=False)
+    got_pose, got_par = mfwd(mv, x, train=False)
+    # atol 5e-3: vmapped CPU convs lower through a different algorithm
+    # than unrolled ones (documented ~1e-4 relative noise, amplified
+    # through 8 cells + injections); a wrong stream/cell mapping errors
+    # at O(0.1-1).
+    for ref_branch, got_branch in zip((ref_pose, ref_par),
+                                      (got_pose, got_par)):
+        for (rm, ra), (gm, ga) in zip(ref_branch, got_branch):
+            np.testing.assert_allclose(np.asarray(gm), np.asarray(rm),
+                                       rtol=0, atol=5e-3)
+            np.testing.assert_allclose(np.asarray(ga), np.asarray(ra),
+                                       rtol=0, atol=5e-3)
