@@ -30,14 +30,23 @@ REFERENCE_GPU_IMG_PER_SEC = 20.0
 
 def bench_infer(quantize: str | None = None, fused_necks: bool = False,
                 merged_streams: bool = False, fused_cells: bool = False,
-                repeat: int = 1, quant_prep: str = "none") -> None:
+                repeat: int = 1, quant_prep: str = "none",
+                all_families: bool = False) -> None:
     from npp_tpu.models.augment import (NPPNet, fuse_neck_variables,
                                         fuse_sibling_variables,
                                         merge_stream_variables)
     from npp_tpu.ops.quantize import quantized_convs
 
+    kw = {}
+    if all_families:
+        # infer_cellfused_all: extend sibling fusion to the dil/sep
+        # depthwise families too (exact; measured arm for the family
+        # default decision — see models/cells.DEFAULT_SIBLING_FAMILIES).
+        from npp_tpu.models.cells import ALL_SIBLING_FAMILIES
+        kw["sibling_families"] = ALL_SIBLING_FAMILIES
     model = NPPNet(num_classes=20, num_joints=16, layers=16,
-                   init_channels=64, refine_layers=1, dtype=jnp.bfloat16)
+                   init_channels=64, refine_layers=1, dtype=jnp.bfloat16,
+                   **kw)
 
     batch = 8
     images = [
@@ -645,6 +654,7 @@ def main() -> None:
                             "infer_int8static", "infer_fused",
                             "infer_merged", "infer_merged_cellfused",
                             "infer_cellfused", "infer_cellfused_necks",
+                            "infer_cellfused_all",
                             "eval", "pipeline", "search", "search_novmap",
                             "search_merged",
                             "train", "ppp_ms", "train_e2e", "search_e2e",
@@ -668,6 +678,9 @@ def main() -> None:
      "infer_cellfused": lambda: bench_infer(fused_cells=True, repeat=rep),
      "infer_cellfused_necks": lambda: bench_infer(
          fused_cells=True, fused_necks=True, repeat=rep),
+     "infer_cellfused_all": lambda: bench_infer(
+         fused_cells=True, fused_necks=True, all_families=True,
+         repeat=rep),
      "eval": bench_eval, "pipeline": bench_pipeline,
      "search": bench_search_step,
      "search_novmap": lambda: bench_search_step(vmap_injections=False),

@@ -40,11 +40,14 @@ class Predictor:
         exact — see models/augment.fuse_neck_variables) and transforms
         ``variables`` to match; pass an unfused model/checkpoint.
         ``fuse_cells=True`` likewise rewrites same-input sibling edge
-        groups in every cell (std-conv, SE, dil-conv, sep-conv families)
-        into single K-wide/blocked-grouped ops
+        groups in every cell into single K-wide ops
         (models/augment.fuse_sibling_variables; exact in fp — under
-        int8 a group shares one requant scale and grouped pointwise
-        convs stay fp).
+        int8 a group shares one requant scale). The fused families
+        default to the measured-best serving set (std convs + SE;
+        models/cells.DEFAULT_SIBLING_FAMILIES) — construct the model
+        with ``sibling_families=ALL_SIBLING_FAMILIES`` to also merge
+        dil/sep depthwise chains (exact but measured slightly slower
+        at flagship widths).
 
         ``mesh``: a ``jax.sharding.Mesh`` with a ``"data"`` axis enables
         data-parallel multi-chip serving — weights replicated, request

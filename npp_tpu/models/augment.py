@@ -24,7 +24,8 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from npp_tpu import genotypes as gt
-from npp_tpu.models.cells import (
+from npp_tpu.models.cells import (DEFAULT_SIBLING_FAMILIES,
+    
     Cell,
     FusionCell,
     UpsampleCell,
@@ -111,6 +112,7 @@ class NPPNet(nn.Module):
     merged_streams: bool = False
     fused_necks: bool = False
     fused_cells: bool = False
+    sibling_families: tuple = DEFAULT_SIBLING_FAMILIES
     dtype: Any = jnp.bfloat16
 
     def setup(self):
@@ -157,7 +159,8 @@ class NPPNet(nn.Module):
             self.vstem_a = VStem(c, 2, True, d)
             self.vstem_b = VStem(c * 2, 2, True, d)
             self.vstem_c = VStem(c * 2, 1, False, d)
-            self.vcells = [VCell(*a, fuse_siblings=self.fused_cells)
+            self.vcells = [VCell(*a, fuse_siblings=self.fused_cells,
+                         sibling_families=self.sibling_families)
                            for a in cell_args]
         else:
             self.stem0 = _Stem(c, 2, True, d)
@@ -166,9 +169,11 @@ class NPPNet(nn.Module):
             self.stem3 = _Stem(c, 2, True, d)
             self.stem4 = _Stem(c * 2, 2, True, d)
             self.stem5 = _Stem(c * 2, 1, False, d)
-            self.cells1 = [Cell(*a, fuse_siblings=self.fused_cells)
+            self.cells1 = [Cell(*a, fuse_siblings=self.fused_cells,
+                         sibling_families=self.sibling_families)
                            for a in cell_args]
-            self.cells2 = [Cell(*a, fuse_siblings=self.fused_cells)
+            self.cells2 = [Cell(*a, fuse_siblings=self.fused_cells,
+                         sibling_families=self.sibling_families)
                            for a in cell_args]
         # Deep-to-shallow channel list [16C, 8C, 4C, 2C].
         self.num_inchannels = tuple(num_inchannels[::-1])
@@ -197,12 +202,14 @@ class NPPNet(nn.Module):
         nc = self.num_inchannels
         self.upsamples1 = [
             UpsampleCell(self.decoder.upsample1, self.decoder.upsample_concat1,
-                         nc[j + 1], d, fuse_siblings=self.fused_cells)
+                         nc[j + 1], d, fuse_siblings=self.fused_cells,
+                         sibling_families=self.sibling_families)
             for j in range(len(nc) - 1)
         ]
         self.upsamples2 = [
             UpsampleCell(self.decoder.upsample2, self.decoder.upsample_concat2,
-                         nc[j + 1], d, fuse_siblings=self.fused_cells)
+                         nc[j + 1], d, fuse_siblings=self.fused_cells,
+                         sibling_families=self.sibling_families)
             for j in range(len(nc) - 1)
         ]
 
@@ -229,12 +236,14 @@ class NPPNet(nn.Module):
         n_cells = 2 * max(self.refine_layers - 1, 0) + 3
         self.pose_net = [
             FusionCell(self.fusion.pose, self.fusion.pose_concat, nc[3], 1, d,
-                       fuse_siblings=self.fused_cells)
+                       fuse_siblings=self.fused_cells,
+                         sibling_families=self.sibling_families)
             for _ in range(n_cells)
         ]
         self.par_net = [
             FusionCell(self.fusion.par, self.fusion.par_concat, nc[3], 1, d,
-                       fuse_siblings=self.fused_cells)
+                       fuse_siblings=self.fused_cells,
+                         sibling_families=self.sibling_families)
             for _ in range(n_cells)
         ]
 
@@ -522,6 +531,7 @@ def fuse_sibling_variables(variables, model: NPPNet):
     from npp_tpu.models.cells import sibling_groups
 
     specs = _cell_specs(model)
+    families = getattr(model, "sibling_families", DEFAULT_SIBLING_FAMILIES)
     out = {}
     for col, tree in variables.items():
         tree = dict(tree)
@@ -530,7 +540,8 @@ def fuse_sibling_variables(variables, model: NPPNet):
                 continue
             sub = dict(tree[cname])
             grouped = set()
-            for g, (_key, es) in enumerate(sibling_groups(edges, red)):
+            for g, (_key, es) in enumerate(
+                    sibling_groups(edges, red, families)):
                 grouped.update(es)
                 # Per-collection presence guard: stride-1 se_connect
                 # edges have params but no batch_stats (SEBlock gains a
@@ -564,6 +575,7 @@ def unfuse_sibling_variables(variables, model: NPPNet):
     from npp_tpu.models.cells import sibling_groups
 
     specs = _cell_specs(model)
+    families = getattr(model, "sibling_families", DEFAULT_SIBLING_FAMILIES)
     out = {}
     for col, tree in variables.items():
         tree = dict(tree)
@@ -571,7 +583,7 @@ def unfuse_sibling_variables(variables, model: NPPNet):
             if cname not in tree:
                 continue
             sub = dict(tree[cname])
-            groups = sibling_groups(edges, red)
+            groups = sibling_groups(edges, red, families)
             grouped = {e for _k, es in groups for e in es}
             # Un-renumber the non-grouped ops (reverse order so moves
             # never clobber: new index <= original index always).

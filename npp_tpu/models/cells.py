@@ -20,11 +20,22 @@ from npp_tpu.ops.primitives import FactorizedReduce, ReLUConvBN, Conv, make_op
 from npp_tpu.ops.resize import resize_nearest, resize_scale
 
 
-def sibling_groups(edges, reduction: bool = False):
-    """Edge-index groups of >=2 ``std_conv_*``, ``se_connect``,
-    ``dil_conv_*``, or ``sep_conv_*`` edges reading the SAME state with
-    the same stride — mergeable into ONE wider op (same-name edges only;
-    groups never mix op types).
+# Sibling-mergeable primitive families. DEFAULT is the measured-best
+# serving set (std convs + SE; BENCH.md round-4/5 serving matrix); ALL
+# adds the dil/sep depthwise chains — exact but measured slightly slower
+# at flagship widths (the K-fold input tile is extra HBM traffic on ops
+# that are bandwidth-bound already), kept reachable for other shapes.
+DEFAULT_SIBLING_FAMILIES = ("std_conv_3x3", "std_conv_1x1", "se_connect")
+ALL_SIBLING_FAMILIES = DEFAULT_SIBLING_FAMILIES + (
+    "dil_conv_3x3_2", "dil_conv_3x3_4", "dil_conv_5x5_4",
+    "sep_conv_3x3", "sep_conv_5x5")
+
+
+def sibling_groups(edges, reduction: bool = False,
+                   families=DEFAULT_SIBLING_FAMILIES):
+    """Edge-index groups of >=2 same-``families`` edges reading the SAME
+    state with the same stride — mergeable into ONE wider op (same-name
+    edges only; groups never mix op types).
 
     The released genotypes are rich in these (e.g. the encoder normal
     cell has three ``std_conv_3x3`` edges all reading state 0 AND an
@@ -41,9 +52,7 @@ def sibling_groups(edges, reduction: bool = False):
     layouts always agree."""
     byk: dict = {}
     for i, (name, idx) in enumerate(edges):
-        if name in ("std_conv_3x3", "std_conv_1x1", "se_connect",
-                    "dil_conv_3x3_2", "dil_conv_3x3_4", "dil_conv_5x5_4",
-                    "sep_conv_3x3", "sep_conv_5x5"):
+        if name in families:
             stride = 2 if reduction and idx < 2 else 1
             byk.setdefault((name, idx, stride), []).append(i)
     groups = [(k, tuple(v)) for k, v in byk.items() if len(v) >= 2]
@@ -235,7 +244,9 @@ class _SiblingMixin:
                         for name, index in self.edges]
             return
         groups = sibling_groups(self.edges,
-                                getattr(self, "reduction", False))
+                                getattr(self, "reduction", False),
+                                getattr(self, "sibling_families",
+                                        DEFAULT_SIBLING_FAMILIES))
         self._groups = groups
         slot, sib = {}, []
         for g, ((name, _idx, stride), es) in enumerate(groups):
@@ -293,6 +304,7 @@ class Cell(nn.Module, _SiblingMixin):
     reduction_prev: bool
     dtype: Any = None
     fuse_siblings: bool = False
+    sibling_families: tuple = DEFAULT_SIBLING_FAMILIES
 
     def setup(self):
         c, d = self.channels, self.dtype
@@ -330,6 +342,7 @@ class UpsampleCell(nn.Module, _SiblingMixin):
     c_prev: int  # channels of s1; node width is c_prev // 4
     dtype: Any = None
     fuse_siblings: bool = False
+    sibling_families: tuple = DEFAULT_SIBLING_FAMILIES
 
     def setup(self):
         c, d = self.c_prev // 4, self.dtype
@@ -370,6 +383,7 @@ class FusionCell(nn.Module, _SiblingMixin):
     order: int = 1
     dtype: Any = None
     fuse_siblings: bool = False
+    sibling_families: tuple = DEFAULT_SIBLING_FAMILIES
 
     def setup(self):
         c, d = self.channels, self.dtype

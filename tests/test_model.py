@@ -238,11 +238,17 @@ def test_fused_dil_sep_groups_exact():
     from npp_tpu import genotypes as gt
     from npp_tpu.models.augment import (NPPNet, fuse_sibling_variables,
                                         unfuse_sibling_variables)
-    from npp_tpu.models.cells import sibling_groups
+    from npp_tpu.models.cells import (ALL_SIBLING_FAMILIES,
+                                      DEFAULT_SIBLING_FAMILIES,
+                                      sibling_groups)
 
-    # The released par fusion cell itself now yields a dil group.
-    released = dict(sibling_groups(gt.FUSION.par))
+    # With families=ALL the released par fusion cell yields a dil group;
+    # the measured-best DEFAULT excludes the dil/sep families (BENCH.md).
+    released = dict(sibling_groups(gt.FUSION.par,
+                                   families=ALL_SIBLING_FAMILIES))
     assert any(k[0] == "dil_conv_3x3_2" for k in released)
+    assert not any(k[0] == "dil_conv_3x3_2"
+                   for k in dict(sibling_groups(gt.FUSION.par)))
 
     enc = gt.Genotype(
         normal=gt._edges([("dil_conv_3x3_2", 0), ("dil_conv_3x3_2", 0),
@@ -256,14 +262,16 @@ def test_fused_dil_sep_groups_exact():
                           ("se_connect", 3), ("max_pool_3x3", 2)]),
         reduce_concat=(2, 3, 4, 5),
     )
-    g_norm = sibling_groups(enc.normal)
-    g_red = sibling_groups(enc.reduce, reduction=True)
+    g_norm = sibling_groups(enc.normal, families=ALL_SIBLING_FAMILIES)
+    g_red = sibling_groups(enc.reduce, reduction=True,
+                           families=ALL_SIBLING_FAMILIES)
     assert [k[0] for k, _ in g_norm] == ["dil_conv_3x3_2", "sep_conv_3x3"]
     assert [(k[0], k[2]) for k, _ in g_red] == [
         ("dil_conv_3x3_4", 2), ("sep_conv_5x5", 2)]
 
     model = NPPNet(num_classes=7, num_joints=14, layers=4, init_channels=8,
-                   refine_layers=1, encoder=enc, dtype=jnp.float32)
+                   refine_layers=1, encoder=enc,
+                   sibling_families=ALL_SIBLING_FAMILIES, dtype=jnp.float32)
     x = jnp.asarray(np.random.default_rng(7).standard_normal(
         (2, 64, 64, 3)), jnp.float32)
     variables = jax.jit(model.init, static_argnames=("train",))(
