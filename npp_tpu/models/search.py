@@ -742,7 +742,13 @@ ARCH_PARAM_NAMES = ("alphas1", "alphas2", "alphas3", "alphas4",
                     "betas3", "betas4", "betas_pose", "betas_par")
 
 
-def build_search_model(cfg) -> SearchNet:
+def build_search_model(cfg, merged_streams: bool = False) -> SearchNet:
+    """Construct the supernet from a Config (search_lip_sync.py:267).
+
+    ``merged_streams=True`` runs encoder cell pairs as vmapped stream
+    pairs — measured fastest bi-level step and smallest cold compile
+    (BENCH.md round-5 search table); its checkpoints stack the stem/cell
+    subtrees (convert with models/augment.unmerge_stream_variables)."""
     import jax.numpy as jnp
 
     return SearchNet(
@@ -751,6 +757,7 @@ def build_search_model(cfg) -> SearchNet:
         layers=cfg.search.layers,
         init_channels=cfg.search.init_channels,
         refine_layers=cfg.model.refine_layers,
+        merged_streams=merged_streams,
         dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
         else jnp.float32,
     )

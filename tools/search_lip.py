@@ -32,6 +32,11 @@ def parse_args():
     p.add_argument("--resume", action="store_true")
     p.add_argument("--warmup-epochs", type=int, default=-1,
                    help="override warmup (reference hard-codes 15)")
+    p.add_argument("--merged-streams", action="store_true",
+                   help="run encoder cell pairs as vmapped stream pairs "
+                        "(fastest measured bi-level step + smallest cold "
+                        "compile; checkpoints use the merged layout — "
+                        "convert with unmerge_stream_variables)")
     p.add_argument("--zero", action="store_true",
                    help="ZeRO-1: shard both Adam moment trees over the "
                         "data axis (parallel/zero.py)")
@@ -110,7 +115,7 @@ def main():
         mini_loader = _LimitedLoader(mini_loader, args.steps)
         val_loader = _LimitedLoader(val_loader, max(1, args.steps // 2))
 
-    model = build_search_model(cfg)
+    model = build_search_model(cfg, merged_streams=args.merged_streams)
     steps_per_epoch = max(1, len(train_loader))
     w_tx, a_tx = S.make_search_optimizers(
         w_lr=cfg.search.w_lr, alpha_lr=cfg.search.alpha_lr,
