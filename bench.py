@@ -392,6 +392,11 @@ def bench_ppp_multiscale(n_images: int = 8) -> None:
                                     num_classes=7,
                                     scales=(0.5, 0.75, 1.0, 1.25, 1.5),
                                     flip=True)
+        # Force completion: the tunnel runtime acks dispatches before
+        # execution, so an unfetched loop measures dispatch time only
+        # (rounds 2-4 numbers had this flaw — they compared consistently
+        # against each other but under-measured absolute latency).
+        float(out.sum())
     dt = (time.perf_counter() - t0) / n_images
     assert out.shape == (1, 512, 384, 7)
     print(json.dumps({
